@@ -1,0 +1,102 @@
+"""DCP — Deep Closest Point registration.
+
+Capability parity with reference models/dcp.py:10-82: shared encoder on
+both clouds, co-attention Transformer pointer (or identity), SVD or MLP
+head, returning the framework result-dict contract
+(est_R/est_t/est_T/r/transformed_source). The reference's per-item
+torch.svd loop (utils/svd.py:38-56) is a single batched SVD here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from learning3d_tpu.ops import quaternion as quat
+from learning3d_tpu.ops import se3, transforms
+from learning3d_tpu.utils.svd import SVDHead
+from learning3d_tpu.utils.transformer import Identity, Transformer
+
+
+class MLPHead(nnx.Module):
+    """Pooled-embedding pose regressor (reference models/dcp.py:60-82)."""
+
+    def __init__(self, emb_dims: int, *, dtype=None, rngs: nnx.Rngs):
+        self.emb_dims = emb_dims
+        dims = [emb_dims * 2, emb_dims // 2, emb_dims // 4, emb_dims // 8]
+        self.layers = [
+            nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
+        ]
+        self.bns = [
+            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            for o in dims[1:]
+        ]
+        self.proj_rot = nnx.Linear(emb_dims // 8, 4, dtype=dtype, rngs=rngs)
+        self.proj_trans = nnx.Linear(emb_dims // 8, 3, dtype=dtype, rngs=rngs)
+
+    def __call__(self, src_emb, tgt_emb, src, tgt):
+        x = jnp.concatenate([src_emb, tgt_emb], axis=-1)  # (B, N, 2E)
+        x = jnp.max(x, axis=1)  # (B, 2E)
+        for lin, bn in zip(self.layers, self.bns):
+            x = jax.nn.relu(bn(lin(x)))
+        q = quat.qnormalize(self.proj_rot(x))
+        t = self.proj_trans(x)
+        return quat.quat2mat(q), t, None
+
+
+class DCP(nnx.Module):
+    def __init__(
+        self,
+        feature_model: nnx.Module,
+        cycle: bool = False,
+        pointer_: str = "transformer",
+        head: str = "svd",
+        *,
+        dtype=None,
+        rngs: nnx.Rngs,
+    ):
+        self.cycle = cycle
+        self.emb_nn = feature_model
+        if pointer_ == "identity":
+            self.pointer = Identity()
+        elif pointer_ == "transformer":
+            self.pointer = Transformer(
+                feature_model.emb_dims, n_blocks=1, dropout=0.0, ff_dims=1024, n_heads=4,
+                dtype=dtype, rngs=rngs,
+            )
+        else:
+            raise ValueError(pointer_)
+        if head == "mlp":
+            self.head = MLPHead(feature_model.emb_dims, dtype=dtype, rngs=rngs)
+        elif head == "svd":
+            self.head = SVDHead(feature_model.emb_dims)
+        else:
+            raise ValueError(head)
+
+    def __call__(self, template, source):
+        """template/source (B, N, 3) -> result dict; est_* maps source -> template."""
+        src_emb = self.emb_nn(source)
+        tgt_emb = self.emb_nn(template)
+
+        src_p, tgt_p = self.pointer(src_emb, tgt_emb)
+        src_emb = src_emb + src_p
+        tgt_emb = tgt_emb + tgt_p
+
+        R_ab, t_ab, _ = self.head(src_emb, tgt_emb, source, template)
+        if self.cycle:
+            R_ba, t_ba, _ = self.head(tgt_emb, src_emb, template, source)
+        else:
+            R_ba = jnp.swapaxes(R_ab, -1, -2)
+            t_ba = -jnp.einsum("bij,bj->bi", R_ba, t_ab)
+
+        transformed_source = transforms.transform_point_cloud(source, R_ab, t_ab)
+        return {
+            "est_R": R_ab,
+            "est_t": t_ab,
+            "est_R_": R_ba,
+            "est_t_": t_ba,
+            "est_T": se3.from_rt(R_ab, t_ab),
+            "r": tgt_emb - src_emb,
+            "transformed_source": transformed_source,
+        }

@@ -1,0 +1,48 @@
+"""DGCNN encoder (reference models/dgcnn.py:6-49).
+
+Edge features are computed once — kNN(k=20) with (neighbor, center)
+concatenation — then four 1x1-conv stages, each max-pooled over neighbors,
+concatenated (64+64+128+256=512) into the final embedding conv. Conv
+layers are bias-free + BatchNorm, as in the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from learning3d_tpu.ops.geometry import get_graph_feature
+
+
+class DGCNN(nnx.Module):
+    def __init__(self, emb_dims: int = 1024, input_shape: str = "bnc", k: int = 20, *, dtype=None, rngs: nnx.Rngs):
+        if input_shape not in ("bnc", "bcn"):
+            raise ValueError("Allowed shapes are 'bcn' and 'bnc'.")
+        self.input_shape = input_shape
+        self.emb_dims = emb_dims
+        self.k = k
+        dims = [(6, 64), (64, 64), (64, 128), (128, 256), (512, emb_dims)]
+        self.convs = [
+            nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs) for i, o in dims
+        ]
+        self.bns = [
+            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            for _, o in dims
+        ]
+
+    def __call__(self, input_data):
+        """-> (B, N, emb_dims) per-point features."""
+        x = input_data
+        if self.input_shape == "bcn":
+            x = jnp.swapaxes(x, 1, 2)
+        if x.shape[-1] != 3:
+            raise RuntimeError("expected 3-channel point clouds")
+
+        e = get_graph_feature(x, k=self.k)  # (B, N, k, 6)
+        stage_outputs = []
+        for conv, bn in zip(self.convs[:4], self.bns[:4]):
+            e = jax.nn.relu(bn(conv(e)))  # (B, N, k, C)
+            stage_outputs.append(jnp.max(e, axis=2))  # (B, N, C)
+        cat = jnp.concatenate(stage_outputs, axis=-1)  # (B, N, 512)
+        return jax.nn.relu(self.bns[4](self.convs[4](cat)))  # (B, N, emb)

@@ -1,0 +1,75 @@
+"""iPCRNet — iterative single-pass-alignment registration.
+
+Capability parity with reference models/pcrnet.py:9-65: pooled PointNet
+features of template + current source -> MLP -> 7-D pose (quaternion +
+translation), composed over ``max_iteration`` refinement steps. The
+iteration count is static, so the loop unrolls into one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from learning3d_tpu.models.pooling import Pooling
+from learning3d_tpu.ops import quaternion as quat
+from learning3d_tpu.ops import se3
+
+
+class iPCRNet(nnx.Module):
+    def __init__(
+        self,
+        feature_model: nnx.Module,
+        droput: float = 0.0,  # (sic) reference keeps this spelling
+        pooling: str = "max",
+        *,
+        dtype=None,
+        rngs: nnx.Rngs,
+    ):
+        self.feature_model = feature_model
+        self.pooling = Pooling(pooling)
+        emb = feature_model.emb_dims
+        dims = [emb * 2, 1024, 1024, 512, 512, 256]
+        self.linears = [
+            nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
+        ]
+        self.dropout = nnx.Dropout(droput, rngs=rngs) if droput > 0.0 else None
+        self.head = nnx.Linear(256, 7, dtype=dtype, rngs=rngs)
+
+    def _spam(self, template_features, source, est_R, est_t):
+        source_features = self.pooling(self.feature_model(source))
+        y = jnp.concatenate([template_features, source_features], axis=-1)
+        for lin in self.linears:
+            y = jax.nn.relu(lin(y))
+        if self.dropout is not None:
+            y = self.dropout(y)
+        pose = self.head(y)  # (B, 7)
+        q = quat.qnormalize(pose[:, :4])
+        t = pose[:, 4:]
+        R_step = quat.quat2mat(q)
+        # Compose: new = step ∘ old (reference models/pcrnet.py:42-46).
+        est_t = jnp.einsum("bij,bj->bi", R_step, est_t) + t
+        est_R = R_step @ est_R
+        source = jnp.einsum("bij,bnj->bni", R_step, source) + t[:, None, :]
+        return est_R, est_t, source, source_features
+
+    def __call__(self, template, source, max_iteration: int = 8):
+        B = template.shape[0]
+        est_R = jnp.broadcast_to(jnp.eye(3, dtype=template.dtype), (B, 3, 3))
+        est_t = jnp.zeros((B, 3), dtype=template.dtype)
+        template_features = self.pooling(self.feature_model(template))
+
+        source_features = None
+        for _ in range(max_iteration):
+            est_R, est_t, source, source_features = self._spam(
+                template_features, source, est_R, est_t
+            )
+
+        return {
+            "est_R": est_R,  # source -> template
+            "est_t": est_t,
+            "est_T": se3.from_rt(est_R, est_t),
+            "r": template_features - source_features,
+            "transformed_source": source,
+        }

@@ -1,0 +1,82 @@
+"""PointNet encoder.
+
+Capability parity with reference models/pointnet.py:7-73: five 1x1-conv
+blocks 3->64->64->64->128->emb_dims (optional BatchNorm), returning
+*per-point* features; with ``global_feat=False`` the pooled global vector
+is tiled and concatenated with the first-block point features for
+segmentation.
+
+Framework convention: channel-LAST — features are (B, N, C) everywhere
+(``input_shape`` only describes the *input* layout, as in the reference).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from learning3d_tpu.models.pooling import Pooling
+
+
+class PointNet(nnx.Module):
+    def __init__(
+        self,
+        emb_dims: int = 1024,
+        input_shape: str = "bnc",
+        use_bn: bool = False,
+        global_feat: bool = True,
+        *,
+        channels: int = 3,
+        dtype=None,
+        rngs: nnx.Rngs,
+    ):
+        if input_shape not in ("bnc", "bcn"):
+            raise ValueError("Allowed shapes are 'bcn' and 'bnc'.")
+        self.input_shape = input_shape
+        self.emb_dims = emb_dims
+        self.use_bn = use_bn
+        self.global_feat = global_feat
+        self.pooling = Pooling("max")
+
+        dims = [channels, 64, 64, 64, 128, emb_dims]
+        self.convs = [
+            nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
+        ]
+        if use_bn:
+            self.bns = [
+                nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+                for o in dims[1:]
+            ]
+        else:
+            self.bns = [None] * 5
+
+    def __call__(self, input_data, use_running_average=None):
+        """-> (B, N, emb_dims), or (B, N, emb_dims + 64) if not global_feat.
+
+        ``use_running_average`` overrides BatchNorm mode per call — needed
+        for PointNetLK's warm-then-freeze trick (reference
+        models/pointnetlk.py:158-164).
+        """
+        x = input_data
+        if self.input_shape == "bcn":
+            x = jnp.swapaxes(x, 1, 2)
+        if x.shape[-1] not in (3, self.convs[0].in_features):
+            raise RuntimeError("expected 3-channel point clouds")
+
+        point_feature = None
+        for i, (conv, bn) in enumerate(zip(self.convs, self.bns)):
+            x = conv(x)
+            if bn is not None:
+                x = bn(x, use_running_average=use_running_average)
+                if i == 0 and not self.global_feat:
+                    point_feature = x  # post-norm, pre-relu (reference idx==1 capture)
+            x = jax.nn.relu(x)
+            if i == 0 and not self.global_feat and point_feature is None:
+                point_feature = x
+
+        if self.global_feat:
+            return x
+        g = self.pooling(x)  # (B, emb)
+        g = jnp.broadcast_to(g[:, None, :], (x.shape[0], x.shape[1], self.emb_dims))
+        return jnp.concatenate([g, point_feature], axis=-1)

@@ -1,0 +1,90 @@
+"""Shared-MLP stacks and pooling.
+
+The reference's Conv1d/Conv2d(kernel=1) stacks are per-point Linear layers;
+channel-last (B, N, C) Linears map straight onto the MXU with the point
+axis as rows — no transposes, no im2col. BatchNorm matches torch
+BatchNorm1d/2d semantics (normalize over batch+points per channel).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+class MLP1d(nnx.Module):
+    """Stack of per-point Linear(+Norm)(+activation) over (..., C) inputs.
+
+    Equivalent of the reference's Conv1d(1) towers (e.g. PointNet's
+    models/pointnet.py:22-49). norm: None | 'batch' | 'group'.
+    """
+
+    def __init__(
+        self,
+        dims: Sequence[int],
+        *,
+        norm: str | None = "batch",
+        act: Callable = jax.nn.relu,
+        act_last: bool = True,
+        norm_last: bool = True,
+        dtype=None,
+        rngs: nnx.Rngs,
+    ):
+        self.act = act
+        self.act_last = act_last
+        self.layers = []
+        self.norms = []
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            self.layers.append(nnx.Linear(din, dout, dtype=dtype, rngs=rngs))
+            last = i == len(dims) - 2
+            if norm is None or (last and not norm_last):
+                self.norms.append(None)
+            elif norm == "batch":
+                self.norms.append(nnx.BatchNorm(dout, use_running_average=True, dtype=dtype, rngs=rngs))
+            elif norm == "group":
+                self.norms.append(nnx.GroupNorm(dout, num_groups=min(8, dout), dtype=dtype, rngs=rngs))
+            else:
+                raise ValueError(norm)
+
+    def __call__(self, x):
+        n = len(self.layers)
+        for i, (lin, nrm) in enumerate(zip(self.layers, self.norms)):
+            x = lin(x)
+            if nrm is not None:
+                x = nrm(x)
+            if i < n - 1 or self.act_last:
+                x = self.act(x)
+        return x
+
+
+# Grouped (B, S, K, C) inputs share the same per-point Linear math.
+MLP2d = MLP1d
+
+
+class Pooling(nnx.Module):
+    """Max or mean pool over the point axis (reference models/pooling.py:6-15).
+
+    Input (B, N, C) -> (B, C). Axis is -2 (points) in channel-last layout.
+    """
+
+    def __init__(self, pool_type: str = "max"):
+        self.pool_type = pool_type
+
+    def __call__(self, x, axis=-2):
+        if self.pool_type == "max":
+            return jnp.max(x, axis=axis)
+        if self.pool_type in ("avg", "average", "mean"):
+            return jnp.mean(x, axis=axis)
+        raise ValueError(self.pool_type)
+
+
+def set_bn_mode(model: nnx.Module, use_running_average: bool):
+    """Flip every BatchNorm between train/eval statistics (the PointNetLK
+    warm-then-freeze trick, reference models/pointnetlk.py:158-164)."""
+    if use_running_average:
+        model.eval()
+    else:
+        model.train()

@@ -1,0 +1,131 @@
+"""Co-attention Transformer pointer for DCP/PRNet.
+
+Capability parity with the reference's Annotated-Transformer-style module
+(utils/transformer.py:219-243): a pre-norm encoder/decoder pair run twice
+with swapped roles to produce co-attended residual embeddings. Channel-last
+(B, N, E); attention is plain jnp einsum + softmax (XLA flash-fuses at the
+N <= 2048 regime this operates in; dropout is 0 in the reference config).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+def _attention(q, k, v):
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(jnp.asarray(d_k, q.dtype))
+    return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, axis=-1), v)
+
+
+class MultiHeadedAttention(nnx.Module):
+    def __init__(self, n_heads, d_model, *, dtype=None, rngs: nnx.Rngs):
+        assert d_model % n_heads == 0
+        self.h = n_heads
+        self.d_k = d_model // n_heads
+        self.wq = nnx.Linear(d_model, d_model, dtype=dtype, rngs=rngs)
+        self.wk = nnx.Linear(d_model, d_model, dtype=dtype, rngs=rngs)
+        self.wv = nnx.Linear(d_model, d_model, dtype=dtype, rngs=rngs)
+        self.wo = nnx.Linear(d_model, d_model, dtype=dtype, rngs=rngs)
+
+    def __call__(self, query, key, value):
+        B, N, _ = query.shape
+
+        def split(x):
+            return jnp.swapaxes(x.reshape(B, x.shape[1], self.h, self.d_k), 1, 2)
+
+        out = _attention(split(self.wq(query)), split(self.wk(key)), split(self.wv(value)))
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, self.h * self.d_k)
+        return self.wo(out)
+
+
+class FeedForward(nnx.Module):
+    def __init__(self, d_model, d_ff, *, dtype=None, rngs: nnx.Rngs):
+        self.w1 = nnx.Linear(d_model, d_ff, dtype=dtype, rngs=rngs)
+        self.w2 = nnx.Linear(d_ff, d_model, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x):
+        return self.w2(jax.nn.relu(self.w1(x)))
+
+
+class _EncoderLayer(nnx.Module):
+    def __init__(self, d_model, n_heads, d_ff, *, dtype=None, rngs: nnx.Rngs):
+        self.self_attn = MultiHeadedAttention(n_heads, d_model, dtype=dtype, rngs=rngs)
+        self.ff = FeedForward(d_model, d_ff, dtype=dtype, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x):
+        y = self.norm1(x)
+        x = x + self.self_attn(y, y, y)
+        return x + self.ff(self.norm2(x))
+
+
+class _DecoderLayer(nnx.Module):
+    def __init__(self, d_model, n_heads, d_ff, *, dtype=None, rngs: nnx.Rngs):
+        self.self_attn = MultiHeadedAttention(n_heads, d_model, dtype=dtype, rngs=rngs)
+        self.cross_attn = MultiHeadedAttention(n_heads, d_model, dtype=dtype, rngs=rngs)
+        self.ff = FeedForward(d_model, d_ff, dtype=dtype, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm3 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x, memory):
+        y = self.norm1(x)
+        x = x + self.self_attn(y, y, y)
+        y = self.norm2(x)
+        x = x + self.cross_attn(y, memory, memory)
+        return x + self.ff(self.norm3(x))
+
+
+class Transformer(nnx.Module):
+    """Run encoder(src)->decoder(tgt) and the swapped pair, producing
+    co-attended residuals (reference utils/transformer.py:234-243)."""
+
+    def __init__(
+        self,
+        emb_dims: int = 512,
+        n_blocks: int = 1,
+        dropout: float = 0.0,
+        ff_dims: int = 1024,
+        n_heads: int = 4,
+        *,
+        dtype=None,
+        rngs: nnx.Rngs,
+    ):
+        self.emb_dims = emb_dims
+        self.enc_layers = [
+            _EncoderLayer(emb_dims, n_heads, ff_dims, dtype=dtype, rngs=rngs)
+            for _ in range(n_blocks)
+        ]
+        self.dec_layers = [
+            _DecoderLayer(emb_dims, n_heads, ff_dims, dtype=dtype, rngs=rngs)
+            for _ in range(n_blocks)
+        ]
+        self.enc_norm = nnx.LayerNorm(emb_dims, dtype=dtype, rngs=rngs)
+        self.dec_norm = nnx.LayerNorm(emb_dims, dtype=dtype, rngs=rngs)
+
+    def _encode(self, x):
+        for layer in self.enc_layers:
+            x = layer(x)
+        return self.enc_norm(x)
+
+    def _decode(self, x, memory):
+        for layer in self.dec_layers:
+            x = layer(x, memory)
+        return self.dec_norm(x)
+
+    def __call__(self, src_emb, tgt_emb):
+        """(B, N, E) x 2 -> (src_residual, tgt_residual)."""
+        tgt_residual = self._decode(tgt_emb, self._encode(src_emb))
+        src_residual = self._decode(src_emb, self._encode(tgt_emb))
+        return src_residual, tgt_residual
+
+
+class Identity(nnx.Module):
+    """Pass-through pointer (reference utils/transformer.py:211-216)."""
+
+    def __call__(self, *args):
+        return args
