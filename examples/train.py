@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Unified train CLI — covers the reference's 11 train_*.py scripts.
+
+Usage:
+    python examples/train.py --model pointnet --task classification
+    python examples/train.py --model dcp --task dcp
+    python examples/train.py --model pointnetlk --task pointnetlk \
+        --transfer_ptnet path/to/feature_model
+
+Dataset: real ModelNet40 if downloadable / present under
+$LEARNING3D_DATA, otherwise the synthetic procedural stand-in (zero-egress
+environments).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from flax import nnx
+
+
+def build_model(name, args, rngs):
+    from learning3d_tpu import models
+
+    if name == "pointnet":
+        pn = models.PointNet(emb_dims=args.emb_dims, use_bn=True, rngs=rngs)
+        return models.Classifier(pn, num_classes=40, rngs=rngs)
+    if name == "pointconv":
+        return models.PointConvDensityClsSsg(classifier=True, rngs=rngs)
+    if name == "curvenet":
+        return models.CurveNet(rngs=rngs)
+    if name == "dgcnn-cls":
+        return models.Classifier(models.DGCNN(emb_dims=args.emb_dims, rngs=rngs), rngs=rngs)
+    if name == "segmentation":
+        pn = models.PointNet(emb_dims=args.emb_dims, use_bn=True, global_feat=False, rngs=rngs)
+        return models.Segmentation(pn, rngs=rngs)
+    if name == "dcp":
+        return models.DCP(models.DGCNN(emb_dims=512, rngs=rngs), rngs=rngs)
+    if name == "prnet":
+        return models.PRNet(rngs=rngs)
+    if name == "ipcrnet":
+        return models.iPCRNet(models.PointNet(emb_dims=1024, rngs=rngs), rngs=rngs)
+    if name == "pointnetlk":
+        return models.PointNetLK(models.PointNet(emb_dims=1024, use_bn=True, rngs=rngs))
+    if name == "rpmnet":
+        return models.RPMNet(rngs=rngs)
+    if name == "deepgmr":
+        return models.DeepGMR(use_rri=True, nearest_neighbors=args.nearest_neighbors, rngs=rngs)
+    if name == "masknet":
+        return models.MaskNet(models.PointNet(emb_dims=1024, use_bn=True, rngs=rngs), rngs=rngs)
+    if name == "masknet2":
+        return models.MaskNet2(rngs=rngs)
+    if name == "pcn":
+        return models.PCN(emb_dims=1024, rngs=rngs)
+    if name == "flownet":
+        return models.FlowNet3D(rngs=rngs)
+    raise ValueError(name)
+
+
+def build_dataset(args, train):
+    from learning3d_tpu.data import (
+        ClassificationData,
+        ModelNet40Data,
+        RegistrationData,
+        SceneflowDataset,
+        SyntheticModelNet40,
+    )
+
+    use_normals = args.task == "rpmnet"
+    try:
+        base = ModelNet40Data(
+            train=train, num_points=args.num_points, use_normals=use_normals
+        )
+    except Exception as e:
+        print(f"[data] ModelNet40 unavailable ({e}); using SyntheticModelNet40")
+        base = SyntheticModelNet40(train=train, num_points=args.num_points)
+
+    if args.task in ("classification", "segmentation", "pcn"):
+        return ClassificationData(base)
+    if args.task == "flow":
+        return SceneflowDataset(npoints=args.num_points, partition="train" if train else "test")
+    algo = {
+        "dcp": "DCP", "prnet": "PRNet", "ipcrnet": "iPCRNet",
+        "pointnetlk": "PointNetLK", "rpmnet": "RPMNet", "deepgmr": "DeepGMR",
+        "masknet": "DCP",
+    }[args.task]
+    extra = {}
+    if args.task == "deepgmr":
+        extra["nearest_neighbors"] = args.nearest_neighbors
+    if args.task == "masknet":
+        extra["use_masknet"] = True
+        return RegistrationData(
+            algorithm=algo, data_class=base, partial_template=True,
+            noise=args.noise, additional_params=extra,
+        )
+    return RegistrationData(
+        algorithm=algo, data_class=base,
+        partial_source=args.task == "prnet", noise=args.noise, additional_params=extra,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="pointnet")
+    p.add_argument("--task", default="classification")
+    p.add_argument("--exp_name", default=None)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--emb_dims", type=int, default=1024)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--noise", action="store_true")
+    p.add_argument("--nearest_neighbors", type=int, default=20)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--resume", default="")
+    p.add_argument("--ckpt_dir", default="checkpoints")
+    args = p.parse_args()
+
+    from learning3d_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        exp_name=args.exp_name or f"exp_{args.model}",
+        task=args.task,
+        batch_size=args.batch_size,
+        num_points=args.num_points,
+        epochs=args.epochs,
+        lr=args.lr,
+        optimizer=args.optimizer,
+        seed=args.seed,
+        resume=args.resume,
+        ckpt_dir=args.ckpt_dir,
+        noise=args.noise,
+    )
+    model = build_model(args.model, args, nnx.Rngs(args.seed))
+    trainer = Trainer(cfg, model)
+    train_data = build_dataset(args, train=True)
+    test_data = build_dataset(args, train=False)
+    trainer.fit(train_data, test_data)
+
+
+if __name__ == "__main__":
+    main()

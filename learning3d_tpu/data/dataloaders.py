@@ -1,0 +1,439 @@
+"""Host-side datasets (numpy), mirroring the reference's loaders.
+
+Capability parity with reference data_utils/dataloaders.py: ModelNet40
+HDF5 loading (:184-226), per-algorithm registration pair synthesis
+(:250-330), partial crops (:69-119), jitter (:63-67), RRI features
+(:126-147), SceneflowDataset (:364-435). Datasets follow the simple
+``__len__``/``__getitem__`` protocol returning numpy arrays; batching for
+the device loop lives in ``device_pipeline``.
+
+Design note (TPU-first): the *recommended* training path generates
+registration pairs on device inside the jitted step
+(``device_pipeline.make_registration_batch``) — these host classes exist
+for reference-compatible workflows and evaluation reproducibility.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from pathlib import Path
+
+import numpy as np
+
+_MODELNET_URL = "https://shapenet.cs.stanford.edu/media/modelnet40_ply_hdf5_2048.zip"
+_DATA_DIR = Path(os.environ.get("LEARNING3D_DATA", Path.home() / ".learning3d_tpu" / "data"))
+
+SHAPE_NAMES = [
+    "airplane", "bathtub", "bed", "bench", "bookshelf", "bottle", "bowl",
+    "car", "chair", "cone", "cup", "curtain", "desk", "door", "dresser",
+    "flower_pot", "glass_box", "guitar", "keyboard", "lamp", "laptop",
+    "mantel", "monitor", "night_stand", "person", "piano", "plant", "radio",
+    "range_hood", "sink", "sofa", "stairs", "stool", "table", "tent",
+    "toilet", "tv_stand", "vase", "wardrobe", "xbox",
+]
+
+
+def deg_to_rad(deg):
+    return np.pi / 180.0 * deg
+
+
+def download_modelnet40(root: str | os.PathLike | None = None) -> Path:
+    """Download + unzip modelnet40_ply_hdf5_2048 (reference
+    dataloaders.py:19-29). Requires network access; raises with a clear
+    message otherwise."""
+    import urllib.request
+    import zipfile
+
+    root = Path(root or _DATA_DIR)
+    target = root / "modelnet40_ply_hdf5_2048"
+    if target.exists():
+        return target
+    root.mkdir(parents=True, exist_ok=True)
+    zpath = root / "modelnet40.zip"
+    try:
+        urllib.request.urlretrieve(_MODELNET_URL, zpath)
+    except Exception as e:  # pragma: no cover - network dependent
+        raise RuntimeError(
+            f"could not download ModelNet40 ({e}); place the extracted "
+            f"modelnet40_ply_hdf5_2048 directory under {root} or use "
+            "SyntheticModelNet40 for offline runs"
+        ) from e
+    with zipfile.ZipFile(zpath) as z:
+        z.extractall(root)
+    zpath.unlink()
+    return target
+
+
+class ModelNet40Data:
+    """HDF5-backed ModelNet40 (reference dataloaders.py:184-226)."""
+
+    def __init__(
+        self,
+        train: bool = True,
+        num_points: int = 1024,
+        download: bool = True,
+        root_dir: str | None = None,
+        randomize_data: bool = False,
+        use_normals: bool = False,
+        rng: np.random.Generator | None = None,
+    ):
+        import glob
+
+        import h5py
+
+        root = Path(root_dir or _DATA_DIR) / "modelnet40_ply_hdf5_2048"
+        if not root.exists() and download:
+            root = download_modelnet40(root_dir)
+        split = "train" if train else "test"
+        files = sorted(glob.glob(str(root / f"ply_data_{split}*.h5")))
+        if not files:
+            raise FileNotFoundError(f"no ModelNet40 h5 files under {root}")
+        pts, normals, labels = [], [], []
+        for f in files:
+            with h5py.File(f, "r") as h:
+                pts.append(h["data"][:].astype(np.float32))
+                labels.append(h["label"][:].astype(np.int64))
+                if use_normals:
+                    normals.append(h["normal"][:].astype(np.float32))
+        self.data = np.concatenate(pts, 0)
+        if use_normals:
+            self.data = np.concatenate([self.data, np.concatenate(normals, 0)], -1)
+        self.labels = np.concatenate(labels, 0).reshape(-1)
+        self.num_points = num_points
+        self.randomize_data = randomize_data
+        self.rng = rng or np.random.default_rng(0)
+        self.shapes = SHAPE_NAMES
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __getitem__(self, idx):
+        pts = self.data[idx]
+        if self.randomize_data:
+            order = self.rng.permutation(pts.shape[0])
+            pts = pts[order]
+        return pts[: self.num_points].copy(), int(self.labels[idx])
+
+    def get_shape(self, label):
+        return self.shapes[int(label)]
+
+
+class SyntheticModelNet40:
+    """Procedural stand-in for ModelNet40 when the archive is unavailable
+    (zero-egress environments). 40 classes of parametric primitives with
+    class-dependent shape statistics — learnable, deterministic per index,
+    same item contract as ModelNet40Data."""
+
+    def __init__(self, train=True, num_points=1024, size=2048, num_classes=40, seed=0):
+        self.num_points = num_points
+        self.size = size
+        self.num_classes = num_classes
+        self.seed = seed + (0 if train else 1_000_003)
+        self.shapes = SHAPE_NAMES[:num_classes]
+
+    def __len__(self):
+        return self.size
+
+    def _make(self, rng, label):
+        n = self.num_points
+        kind = label % 4
+        u = rng.random(n).astype(np.float32)
+        v = rng.random(n).astype(np.float32)
+        # class-dependent aspect ratios make classes separable
+        a = 0.3 + 0.7 * ((label * 37 % 40) / 40.0)
+        b = 0.3 + 0.7 * ((label * 17 % 40) / 40.0)
+        if kind == 0:  # ellipsoid surface
+            theta, phi = 2 * np.pi * u, np.arccos(2 * v - 1)
+            pts = np.stack(
+                [a * np.sin(phi) * np.cos(theta), b * np.sin(phi) * np.sin(theta), np.cos(phi)], -1
+            )
+        elif kind == 1:  # box surface
+            face = rng.integers(0, 6, n)
+            pts = rng.random((n, 3)).astype(np.float32) * 2 - 1
+            pts[np.arange(n), face % 3] = np.where(face < 3, a, -b)
+        elif kind == 2:  # cylinder
+            theta = 2 * np.pi * u
+            pts = np.stack([a * np.cos(theta), a * np.sin(theta), 2 * b * (v - 0.5)], -1)
+        else:  # cone
+            h = v
+            theta = 2 * np.pi * u
+            r = a * (1 - h)
+            pts = np.stack([r * np.cos(theta), r * np.sin(theta), b * (2 * h - 1)], -1)
+        pts = pts.astype(np.float32)
+        pts += 0.02 * rng.standard_normal(pts.shape).astype(np.float32)
+        # normalize to unit sphere like ModelNet40 preprocessing
+        pts -= pts.mean(0, keepdims=True)
+        pts /= np.abs(pts).max() + 1e-6
+        return pts
+
+    def __getitem__(self, idx):
+        label = idx % self.num_classes
+        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        return self._make(rng, label), int(label)
+
+    def get_shape(self, label):
+        return self.shapes[int(label)]
+
+
+class ClassificationData:
+    """Thin delegating wrapper (reference dataloaders.py:229-247)."""
+
+    def __init__(self, data_class):
+        self.data_class = data_class
+
+    def __len__(self):
+        return len(self.data_class)
+
+    def __getitem__(self, idx):
+        return self.data_class[idx]
+
+    def get_shape(self, label):
+        return self.data_class.get_shape(label)
+
+
+def jitter_pointcloud(pointcloud, sigma=0.04, clip=0.05, rng=None):
+    """Reference noise model (dataloaders.py:63-67): sigma is itself
+    uniformly scaled per call."""
+    rng = rng or np.random.default_rng()
+    sigma = sigma * rng.random()
+    noise = np.clip(sigma * rng.standard_normal(pointcloud.shape), -clip, clip)
+    return (pointcloud + noise).astype(np.float32)
+
+
+def farthest_subsample_points(pointcloud, num_subsampled_points=768, rng=None):
+    """Keep the num_subsampled_points nearest to a random far-away pivot
+    (reference dataloaders.py:69-77). Returns (subsampled, gt_mask)."""
+    rng = rng or np.random.default_rng()
+    n = pointcloud.shape[0]
+    pivot = rng.random((1, 3)) + np.array([[500.0, 500.0, 500.0]]) * rng.choice([1, -1])
+    d = np.sum((pointcloud[:, :3] - pivot) ** 2, -1)
+    idx = np.argsort(d)[:num_subsampled_points]
+    mask = np.zeros(n, dtype=np.float32)
+    mask[idx] = 1
+    return pointcloud[idx], mask
+
+
+def uniform_2_sphere(rng=None):
+    rng = rng or np.random.default_rng()
+    phi = rng.uniform(0.0, 2 * np.pi)
+    cos_theta = rng.uniform(-1.0, 1.0)
+    theta = np.arccos(cos_theta)
+    return np.array(
+        [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)],
+        dtype=np.float32,
+    )
+
+
+def planar_crop(points, p_keep=0.7, rng=None):
+    """Random-plane crop keeping the top p_keep fraction
+    (reference dataloaders.py:106-119). Returns (points, kept_indices)."""
+    rng = rng or np.random.default_rng()
+    normal = uniform_2_sphere(rng)
+    centered = points[:, :3] - points[:, :3].mean(0, keepdims=True)
+    d = centered @ normal
+    mask = d > np.percentile(d, (1.0 - p_keep) * 100)
+    return points[mask, :3], np.nonzero(mask)[0]
+
+
+def get_rri_numpy(pts, k):
+    """Host RRI via the device implementation (ops.geometry.get_rri is the
+    faithful port of the reference spec, dataloaders.py:126-147)."""
+    import jax.numpy as jnp
+
+    from learning3d_tpu.ops.geometry import get_rri
+
+    return np.asarray(get_rri(jnp.asarray(pts[None]), k))[0]
+
+
+class RegistrationData:
+    """Per-algorithm registration pair synthesis
+    (reference dataloaders.py:250-330). Returns (template, source, igt)
+    (+ masks for masknet workflows). igt maps template -> source."""
+
+    ALGORITHMS = ("PCRNet", "PointNetLK", "DCP", "PRNet", "iPCRNet", "RPMNet", "DeepGMR")
+
+    def __init__(
+        self,
+        algorithm="iPCRNet",
+        data_class=None,
+        partial_source=False,
+        partial_template=False,
+        noise=False,
+        additional_params=None,
+        seed=0,
+    ):
+        if algorithm not in self.ALGORITHMS:
+            raise ValueError(f"Algorithm {algorithm} not available for registration.")
+        self.algorithm = algorithm
+        self.data_class = data_class
+        self.partial_source = partial_source
+        self.partial_template = partial_template
+        self.noise = noise
+        self.additional_params = additional_params or {}
+        self.seed = seed
+        self.use_rri = (
+            algorithm == "DeepGMR" and self.additional_params.get("nearest_neighbors", 0) > 0
+        )
+
+        # per-algorithm transform parameters (dataloaders.py:264-283)
+        if algorithm in ("PCRNet", "iPCRNet"):
+            self.mode, self.angle_range, self.translation_range = "euler_pm", 45.0, 1.0
+        elif algorithm in ("PointNetLK", "RPMNet"):
+            self.mode, self.mag = "twist", 0.8
+        elif algorithm in ("DCP", "PRNet"):
+            self.mode, self.angle_range, self.translation_range = "euler_pos", 45.0, 1.0
+        else:  # DeepGMR
+            self.mode, self.angle_range, self.translation_range = "euler_pos", 90.0, 1.0
+
+    def __len__(self):
+        return len(self.data_class)
+
+    def _sample_transform(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        if self.mode == "twist":
+            x = rng.standard_normal(6)
+            x = x / np.linalg.norm(x) * (self.mag * rng.random())
+            w, v = x[:3], x[3:]
+            R = Rotation.from_rotvec(w).as_matrix()
+            t_norm = np.linalg.norm(w)
+            # V matrix of se3 exp
+            W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+            if t_norm < 1e-8:
+                V = np.eye(3)
+            else:
+                V = (
+                    np.eye(3)
+                    + (1 - np.cos(t_norm)) / t_norm**2 * W
+                    + (t_norm - np.sin(t_norm)) / t_norm**3 * (W @ W)
+                )
+            t = V @ v
+        elif self.mode == "euler_pm":
+            mr = deg_to_rad(self.angle_range)
+            e = rng.uniform(-mr, mr, 3)
+            R = Rotation.from_euler("XYZ", e).as_matrix()
+            t = rng.uniform(-self.translation_range, self.translation_range, 3)
+        else:  # euler_pos — positive-only angles, the DCP distribution
+            mr = deg_to_rad(self.angle_range)
+            e = rng.uniform(0, mr, 3)
+            R = Rotation.from_euler("zyx", e).as_matrix()
+            t = rng.uniform(-self.translation_range, self.translation_range, 3)
+        igt = np.eye(4, dtype=np.float32)
+        igt[:3, :3] = R
+        igt[:3, 3] = t
+        return igt
+
+    def __getitem__(self, index):
+        template, _ = self.data_class[index]
+        template = np.asarray(template, dtype=np.float32)
+        # PCRNet keeps a fixed transform per index for reproducibility
+        # (transform_functions.py:199); we get the same property by
+        # seeding with the index.
+        rng = np.random.default_rng(self.seed * 1_000_003 + index)
+        igt = self._sample_transform(rng)
+        xyz = template[:, :3]
+        source = (xyz @ igt[:3, :3].T + igt[:3, 3]).astype(np.float32)
+        if template.shape[1] == 6:  # rotate normals too (RPMNet)
+            src_nrm = template[:, 3:6] @ igt[:3, :3].T
+            source = np.concatenate([source, src_nrm.astype(np.float32)], -1)
+
+        template_mask = source_mask = None
+        if self.additional_params.get("partial_point_cloud_method") == "planar_crop":
+            source, idx_s = planar_crop(source, rng=rng)
+            template, idx_t = planar_crop(template, rng=rng)
+            inter = np.intersect1d(idx_s, idx_t)
+            template_mask = np.isin(idx_t, inter).astype(np.float32)
+            source_mask = np.isin(idx_s, inter).astype(np.float32)
+        else:
+            if self.partial_source:
+                source, source_mask = farthest_subsample_points(source, rng=rng)
+            if self.partial_template:
+                template, template_mask = farthest_subsample_points(template, rng=rng)
+
+        if self.noise:
+            source = jitter_pointcloud(source, rng=rng)
+
+        if self.use_rri:
+            k = self.additional_params["nearest_neighbors"]
+            template = np.concatenate(
+                [template, get_rri_numpy(template - template.mean(0), k)], 1
+            )
+            source = np.concatenate([source, get_rri_numpy(source - source.mean(0), k)], 1)
+
+        if self.additional_params.get("use_masknet", False):
+            extras = [m for m in (template_mask, source_mask) if m is not None]
+            return (template, source, igt, *extras)
+        return template, source, igt
+
+
+class SegmentationData:
+    """Reference stub (dataloaders.py:333-346) — kept for API parity;
+    wrap a part-segmentation dataset via UserData instead."""
+
+    def __len__(self):
+        return 0
+
+    def __getitem__(self, idx):
+        raise NotImplementedError("provide segmentation data via UserData")
+
+
+class FlowData:
+    """Reference stub (dataloaders.py:349-361) — see SceneflowDataset."""
+
+    def __len__(self):
+        return 0
+
+    def __getitem__(self, idx):
+        raise NotImplementedError("use SceneflowDataset or UserData")
+
+
+class SceneflowDataset:
+    """FlyingThings3D-processed npz loader (reference dataloaders.py:364-435)."""
+
+    def __init__(self, npoints=1024, root=None, partition="train", seed=0):
+        import glob
+
+        self.npoints = npoints
+        self.partition = partition
+        root = root or str(_DATA_DIR / "data_processed_maxcut_35_20k_2k_8192")
+        pattern = os.path.join(root, "TRAIN*.npz" if partition == "train" else "TEST*.npz")
+        self.datapath = sorted(glob.glob(pattern))
+        # the reference excludes one known-NaN sample (:386-388)
+        self.datapath = [
+            d for d in self.datapath if "TRAIN_C_0140_left_0006-0" not in d
+        ]
+        self.cache = {}
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.datapath)
+
+    def __getitem__(self, index):
+        if index in self.cache:
+            pos1, pos2, color1, color2, flow, mask1 = self.cache[index]
+        else:
+            with open(self.datapath[index], "rb") as fp:
+                data = np.load(fp)
+                pos1 = data["points1"].astype(np.float32)
+                pos2 = data["points2"].astype(np.float32)
+                color1 = data["color1"].astype(np.float32)
+                color2 = data["color2"].astype(np.float32)
+                flow = data["flow"].astype(np.float32)
+                mask1 = data["valid_mask1"]
+            if len(self.cache) < 30000:
+                self.cache[index] = (pos1, pos2, color1, color2, flow, mask1)
+
+        if self.partition == "train":
+            n1, n2 = pos1.shape[0], pos2.shape[0]
+            s1 = self.rng.choice(n1, self.npoints, replace=False)
+            s2 = self.rng.choice(n2, self.npoints, replace=False)
+        else:
+            s1 = np.arange(self.npoints)
+            s2 = np.arange(self.npoints)
+        pos1, color1, flow, mask1 = pos1[s1], color1[s1], flow[s1], mask1[s1]
+        pos2, color2 = pos2[s2], color2[s2]
+        center = pos1.mean(0)
+        pos1 = pos1 - center
+        pos2 = pos2 - center
+        return pos1, pos2, color1, color2, flow, mask1

@@ -25,13 +25,13 @@ class MLPHead(nnx.Module):
     def __init__(self, emb_dims: int, *, dtype=None, rngs: nnx.Rngs):
         self.emb_dims = emb_dims
         dims = [emb_dims * 2, emb_dims // 2, emb_dims // 4, emb_dims // 8]
-        self.layers = [
+        self.layers = nnx.List([
             nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
-        ]
-        self.bns = [
+        ])
+        self.bns = nnx.List([
             nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
             for o in dims[1:]
-        ]
+        ])
         self.proj_rot = nnx.Linear(emb_dims // 8, 4, dtype=dtype, rngs=rngs)
         self.proj_trans = nnx.Linear(emb_dims // 8, 3, dtype=dtype, rngs=rngs)
 

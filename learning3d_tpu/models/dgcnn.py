@@ -23,13 +23,13 @@ class DGCNN(nnx.Module):
         self.emb_dims = emb_dims
         self.k = k
         dims = [(6, 64), (64, 64), (64, 128), (128, 256), (512, emb_dims)]
-        self.convs = [
+        self.convs = nnx.List([
             nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs) for i, o in dims
-        ]
-        self.bns = [
+        ])
+        self.bns = nnx.List([
             nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
             for _, o in dims
-        ]
+        ])
 
     def __call__(self, input_data):
         """-> (B, N, emb_dims) per-point features."""

@@ -32,9 +32,9 @@ class PointNetMask(nnx.Module):
         self.pooling = Pooling("max")
         input_size = template_feature_size + source_feature_size
         dims = [input_size, 1024, 512, 256, 128]
-        self.h3 = [
+        self.h3 = nnx.List([
             nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
-        ]
+        ])
         self.out = nnx.Linear(128, 1, dtype=dtype, rngs=rngs)
 
     def __call__(self, template, source):
@@ -51,7 +51,11 @@ class PointNetMask(nnx.Module):
 
 class MaskNet(nnx.Module):
     def __init__(self, feature_model: nnx.Module, is_training: bool = True, *, dtype=None, rngs: nnx.Rngs):
-        self.maskNet = PointNetMask(feature_model=feature_model, dtype=dtype, rngs=rngs)
+        emb = feature_model.emb_dims
+        self.maskNet = PointNetMask(
+            template_feature_size=emb, source_feature_size=emb,
+            feature_model=feature_model, dtype=dtype, rngs=rngs,
+        )
         self.is_training = is_training
 
     def __call__(self, template, source, point_selection: str = "topk"):

@@ -104,11 +104,11 @@ class PointNetMask2(nnx.Module):
         self.global_feat_1 = SelfAttentionFC(1024, 512, dtype=dtype, rngs=rngs)
         self.global_feat_2 = SelfAttentionFC(512, 256, dtype=dtype, rngs=rngs)
         self.global_feat_3 = SelfAttentionFC(256, 512, dtype=dtype, rngs=rngs)
-        self.h3 = [
+        self.h3 = nnx.List([
             BasicConv1D(1024, 512, dtype=dtype, rngs=rngs),
             BasicConv1D(512, 256, dtype=dtype, rngs=rngs),
             BasicConv1D(256, 128, dtype=dtype, rngs=rngs),
-        ]
+        ])
         self.out = nnx.Linear(128, 1, dtype=dtype, rngs=rngs)
 
     def _head(self, point_feats, global_feats):

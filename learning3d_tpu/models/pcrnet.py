@@ -31,9 +31,9 @@ class iPCRNet(nnx.Module):
         self.pooling = Pooling(pooling)
         emb = feature_model.emb_dims
         dims = [emb * 2, 1024, 1024, 512, 512, 256]
-        self.linears = [
+        self.linears = nnx.List([
             nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
-        ]
+        ])
         self.dropout = nnx.Dropout(droput, rngs=rngs) if droput > 0.0 else None
         self.head = nnx.Linear(256, 7, dtype=dtype, rngs=rngs)
 

@@ -40,16 +40,16 @@ class PointNet(nnx.Module):
         self.pooling = Pooling("max")
 
         dims = [channels, 64, 64, 64, 128, emb_dims]
-        self.convs = [
+        self.convs = nnx.List([
             nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
-        ]
+        ])
         if use_bn:
-            self.bns = [
+            self.bns = nnx.List([
                 nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
                 for o in dims[1:]
-            ]
+            ])
         else:
-            self.bns = [None] * 5
+            self.bns = nnx.List([None] * 5)
 
     def __call__(self, input_data, use_running_average=None):
         """-> (B, N, emb_dims), or (B, N, emb_dims + 64) if not global_feat.

@@ -1,0 +1,282 @@
+"""PRNet — partial-to-partial registration with keypoints and Gumbel/softmax
+correspondence sampling.
+
+Capability parity with reference models/prnet.py:39-396: self-contained
+LeakyReLU PointNet/DGCNN encoders (PRNet's DGCNN recomputes the dynamic
+graph each stage, unlike models/dgcnn.py), KeyPointNet top-k-by-norm
+selection, TemperatureNet, its own SVD head with temperature-scaled
+softmax or straight-through Gumbel correspondence sampling, and the
+3-iteration outer loop that composes transforms and (optionally) computes
+its own discounted loss in forward. The reference's per-item CPU SVD loop
+(:200-215) is a batched on-device SVD.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from learning3d_tpu.ops import quaternion as quat
+from learning3d_tpu.ops import se3, transforms
+from learning3d_tpu.ops.geometry import get_graph_feature, index_points
+from learning3d_tpu.utils.svd import procrustes_from_correspondence
+from learning3d_tpu.utils.transformer import Identity, Transformer
+
+
+def cycle_consistency(R_ab, t_ab, R_ba, t_ba):
+    """MSE(R_ab R_ba, I) + MSE(t_ab, -t_ba) (reference prnet.py:33-36)."""
+    eye = jnp.eye(3, dtype=R_ab.dtype)
+    return jnp.mean((R_ab @ R_ba - eye) ** 2) + jnp.mean((t_ab + t_ba) ** 2)
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, 0.2)
+
+
+class PRPointNet(nnx.Module):
+    """PRNet-local PointNet: bias-free convs + BN + LeakyReLU? — the
+    reference uses plain ReLU here (prnet.py:53-59)."""
+
+    def __init__(self, emb_dims=512, *, dtype=None, rngs: nnx.Rngs):
+        self.emb_dims = emb_dims
+        dims = [3, 64, 64, 64, 128, emb_dims]
+        self.convs = nnx.List([
+            nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs)
+            for i, o in zip(dims[:-1], dims[1:])
+        ])
+        self.bns = nnx.List([
+            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            for o in dims[1:]
+        ])
+
+    def __call__(self, x):
+        for conv, bn in zip(self.convs, self.bns):
+            x = jax.nn.relu(bn(conv(x)))
+        return x
+
+
+class PRDGCNN(nnx.Module):
+    """PRNet's dynamic-graph DGCNN: graph features recomputed per stage,
+    LeakyReLU(0.2) (reference prnet.py:62-97)."""
+
+    def __init__(self, emb_dims=512, k=20, *, dtype=None, rngs: nnx.Rngs):
+        self.emb_dims = emb_dims
+        self.k = k
+        dims = [(6, 64), (128, 64), (128, 128), (256, 256), (512, emb_dims)]
+        self.convs = nnx.List([
+            nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs) for i, o in dims
+        ])
+        self.bns = nnx.List([
+            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            for _, o in dims
+        ])
+
+    def __call__(self, x):
+        stage_outputs = []
+        h = x
+        for conv, bn in zip(self.convs[:4], self.bns[:4]):
+            e = get_graph_feature(h, k=self.k)  # (B, N, k, 2C)
+            e = _lrelu(bn(conv(e)))
+            h = jnp.max(e, axis=2)  # (B, N, C)
+            stage_outputs.append(h)
+        cat = jnp.concatenate(stage_outputs, axis=-1)  # (B, N, 512)
+        return _lrelu(self.bns[4](self.convs[4](cat)))
+
+
+class TemperatureNet(nnx.Module):
+    def __init__(self, emb_dims, temp_factor=100.0, *, dtype=None, rngs: nnx.Rngs):
+        self.temp_factor = temp_factor
+        dims = [emb_dims, 128, 128, 128]
+        self.layers = nnx.List([
+            nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
+        ])
+        self.bns = nnx.List([
+            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            for o in dims[1:]
+        ])
+        self.head = nnx.Linear(128, 1, dtype=dtype, rngs=rngs)
+
+    def __call__(self, src_embedding, tgt_embedding):
+        residual = jnp.abs(
+            jnp.mean(src_embedding, axis=1) - jnp.mean(tgt_embedding, axis=1)
+        )
+        x = residual
+        for lin, bn in zip(self.layers, self.bns):
+            x = jax.nn.relu(bn(lin(x)))
+        temp = jax.nn.relu(self.head(x))
+        return jnp.clip(temp, 1.0 / self.temp_factor, self.temp_factor), residual
+
+
+class PRSVDHead(nnx.Module):
+    """Temperature-scaled softmax / straight-through Gumbel correspondence
+    + batched Procrustes (reference prnet.py:158-215)."""
+
+    def __init__(self, emb_dims, cat_sampler="softmax", *, rngs: nnx.Rngs | None = None):
+        self.cat_sampler = cat_sampler
+        self.temperature = nnx.Param(0.5 * jnp.ones((1,)))
+        self.rngs = rngs
+
+    def __call__(self, src_emb, tgt_emb, src, tgt, temperature):
+        d_k = src_emb.shape[-1]
+        scores = jnp.einsum("bne,bme->bnm", src_emb, tgt_emb) / math.sqrt(d_k)
+        temp = temperature.reshape(-1, 1, 1)
+        if self.cat_sampler == "softmax":
+            probs = jax.nn.softmax(temp * scores, axis=-1)
+        elif self.cat_sampler == "gumbel_softmax":
+            key = self.rngs.gumbel() if self.rngs is not None else jax.random.PRNGKey(0)
+            g = -jnp.log(-jnp.log(jax.random.uniform(key, scores.shape) + 1e-20) + 1e-20)
+            soft = jax.nn.softmax((scores + g) / temp, axis=-1)
+            hard = jax.nn.one_hot(jnp.argmax(soft, -1), scores.shape[-1], dtype=soft.dtype)
+            probs = jax.lax.stop_gradient(hard - soft) + soft  # straight-through
+        else:
+            raise ValueError(self.cat_sampler)
+        src_corr = jnp.einsum("bnm,bmc->bnc", probs, tgt)
+        R, t = procrustes_from_correspondence(
+            src.astype(jnp.float32), src_corr.astype(jnp.float32)
+        )
+        return R, t
+
+
+class KeyPointNet(nnx.Module):
+    """Select top-k points by embedding norm (reference prnet.py:218-243)."""
+
+    def __init__(self, num_keypoints):
+        self.num_keypoints = num_keypoints
+
+    def __call__(self, src, tgt, src_emb, tgt_emb):
+        src_norm = jnp.linalg.norm(src_emb, axis=-1)
+        tgt_norm = jnp.linalg.norm(tgt_emb, axis=-1)
+        _, src_idx = jax.lax.top_k(src_norm, self.num_keypoints)
+        _, tgt_idx = jax.lax.top_k(tgt_norm, self.num_keypoints)
+        return (
+            index_points(src, src_idx),
+            index_points(tgt, tgt_idx),
+            index_points(src_emb, src_idx),
+            index_points(tgt_emb, tgt_idx),
+        )
+
+
+class PRNet(nnx.Module):
+    def __init__(
+        self,
+        emb_nn: str = "dgcnn",
+        attention: str = "transformer",
+        head: str = "svd",
+        emb_dims: int = 512,
+        num_keypoints: int = 512,
+        num_subsampled_points: int = 768,
+        num_iters: int = 3,
+        cycle_consistency_loss: float = 0.1,
+        feature_alignment_loss: float = 0.1,
+        discount_factor: float = 0.9,
+        input_shape: str = "bnc",
+        *,
+        dtype=None,
+        rngs: nnx.Rngs,
+    ):
+        self.emb_dims = emb_dims
+        self.num_keypoints = num_keypoints
+        self.num_iters = num_iters
+        self.discount_factor = discount_factor
+        self.feature_alignment_loss = feature_alignment_loss
+        self.cycle_consistency_loss = cycle_consistency_loss
+        self.input_shape = input_shape
+
+        if emb_nn == "pointnet":
+            self.emb_nn = PRPointNet(emb_dims, dtype=dtype, rngs=rngs)
+        elif emb_nn == "dgcnn":
+            self.emb_nn = PRDGCNN(emb_dims, dtype=dtype, rngs=rngs)
+        else:
+            raise ValueError(emb_nn)
+
+        if attention == "identity":
+            self.attention = Identity()
+        elif attention == "transformer":
+            self.attention = Transformer(
+                emb_dims, n_blocks=1, dropout=0.0, ff_dims=1024, n_heads=4,
+                dtype=dtype, rngs=rngs,
+            )
+        else:
+            raise ValueError(attention)
+
+        self.temp_net = TemperatureNet(emb_dims, 100.0, dtype=dtype, rngs=rngs)
+        if head == "svd":
+            self.head = PRSVDHead(emb_dims, "softmax", rngs=rngs)
+        else:
+            raise ValueError(head)
+        self.keypointnet = (
+            KeyPointNet(num_keypoints) if num_keypoints != num_subsampled_points else None
+        )
+
+    def _predict_embedding(self, src, tgt):
+        src_emb = self.emb_nn(src)
+        tgt_emb = self.emb_nn(tgt)
+        src_p, tgt_p = self.attention(src_emb, tgt_emb)
+        src_emb = src_emb + src_p
+        tgt_emb = tgt_emb + tgt_p
+        if self.keypointnet is not None:
+            src, tgt, src_emb, tgt_emb = self.keypointnet(src, tgt, src_emb, tgt_emb)
+        temperature, disparity = self.temp_net(src_emb, tgt_emb)
+        return src, tgt, src_emb, tgt_emb, temperature, disparity
+
+    def _spam(self, src, tgt):
+        s, t, src_emb, tgt_emb, temp, disparity = self._predict_embedding(src, tgt)
+        R_ab, t_ab = self.head(src_emb, tgt_emb, s, t, temp)
+        R_ba, t_ba = self.head(tgt_emb, src_emb, t, s, temp)
+        return R_ab, t_ab, R_ba, t_ba, disparity
+
+    def __call__(self, source, template, igt=None):
+        """source/template (B, N, 3) ('bnc'); pass igt (B, 4, 4) (or an
+        (R, t) tuple) to also get the reference's internal discounted
+        training loss in result['loss'] (prnet.py:349-375)."""
+        src, tgt = source, template
+        calculate_loss = igt is not None
+        if calculate_loss:
+            if isinstance(igt, tuple):
+                R_gt, t_gt = igt
+            else:
+                R_gt, t_gt = igt[:, :3, :3], igt[:, :3, 3]
+
+        B = src.shape[0]
+        eye = jnp.eye(3, dtype=src.dtype)
+        R_ab_pred = jnp.broadcast_to(eye, (B, 3, 3))
+        t_ab_pred = jnp.zeros((B, 3), dtype=src.dtype)
+        R_ba_pred = jnp.broadcast_to(eye, (B, 3, 3))
+        t_ba_pred = jnp.zeros((B, 3), dtype=src.dtype)
+
+        total_loss = 0.0
+        for i in range(self.num_iters):
+            R_ab_i, t_ab_i, R_ba_i, t_ba_i, disparity = self._spam(src, tgt)
+            R_ab_pred = R_ab_i @ R_ab_pred
+            t_ab_pred = jnp.einsum("bij,bj->bi", R_ab_i, t_ab_pred) + t_ab_i
+            R_ba_pred = R_ba_i @ R_ba_pred
+            t_ba_pred = jnp.einsum("bij,bj->bi", R_ba_i, t_ba_pred) + t_ba_i
+
+            if calculate_loss:
+                d = self.discount_factor**i
+                loss = (
+                    jnp.mean((jnp.swapaxes(R_ab_pred, -1, -2) @ R_gt - eye) ** 2)
+                    + jnp.mean((t_ab_pred - t_gt) ** 2)
+                ) * d
+                fa = jnp.mean(disparity) * self.feature_alignment_loss * d
+                cc = (
+                    cycle_consistency(R_ab_i, t_ab_i, R_ba_i, t_ba_i)
+                    * self.cycle_consistency_loss
+                    * d
+                )
+                total_loss = total_loss + loss + fa + cc
+
+            src = transforms.transform_point_cloud(src, R_ab_i, t_ab_i)
+
+        result = {
+            "est_R": R_ab_pred,
+            "est_t": t_ab_pred,
+            "est_T": se3.from_rt(R_ab_pred, t_ab_pred),
+            "transformed_source": src,
+        }
+        if calculate_loss:
+            result["loss"] = total_loss
+        return result

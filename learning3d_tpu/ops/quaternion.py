@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from learning3d_tpu.ops.sinc import sinc1
-
 
 def qmul(q, r):
     """Hamilton product q*r. q, r: (..., 4) in (w,x,y,z)."""
@@ -108,21 +106,36 @@ def mat2quat(R):
 
 
 def axis_angle_to_quat(w):
-    """Rotation vector (..., 3) -> unit quaternion, stable at |w|=0."""
-    t = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    half = 0.5 * t
-    qw = jnp.cos(half)
-    qv = 0.5 * sinc1(half) * w  # sin(t/2)/ (t) * w... sin(t/2) u = sinc1(t/2)*(t/2)*u
+    """Rotation vector (..., 3) -> unit quaternion.
+
+    Squared-norm formulation: all autodiff orders finite at w = 0
+    (||w||'s gradient is NaN there)."""
+    from learning3d_tpu.ops.sinc import sinc1_sq
+
+    s = jnp.sum(w * w, axis=-1, keepdims=True)  # t^2
+    s_safe = jnp.where(s < 0.01, jnp.ones_like(s), s)
+    # cos(t/2) as a smooth function of s.
+    cos_taylor = 1.0 - s / 8.0 * (1.0 - s / 48.0 * (1.0 - s / 120.0))
+    qw = jnp.where(s < 0.01, cos_taylor, jnp.cos(0.5 * jnp.sqrt(s_safe)))
+    qv = 0.5 * sinc1_sq(0.25 * s) * w  # sin(t/2) u = (t/2) sinc1(t/2) u
     return jnp.concatenate([qw, qv], axis=-1)
 
 
 def quat_to_axis_angle(q):
-    """Unit quaternion -> rotation vector (..., 3), stable at identity."""
-    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # w >= 0 => angle in [0, pi]
-    vn = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
-    t = 2.0 * jnp.arctan2(vn, q[..., :1])
-    # w = t * u = 2 v / sinc1(t/2)
-    return 2.0 * q[..., 1:] / jnp.maximum(sinc1(0.5 * t), 1e-12)
+    """Unit quaternion -> rotation vector (..., 3), smooth at identity.
+
+    w = 2 v * g(s), s = |v|^2, g(s) = asin(sqrt(s))/sqrt(s) for qw >= 0
+    (Taylor branch near s = 0 keeps gradients finite)."""
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # qw >= 0 => angle in [0, pi]
+    qw = q[..., :1]
+    v = q[..., 1:]
+    s = jnp.sum(v * v, axis=-1, keepdims=True)
+    s_safe = jnp.where(s < 0.01, jnp.ones_like(s), s)
+    r = jnp.sqrt(s_safe)
+    g_exact = jnp.arctan2(r, qw) / r
+    g_taylor = 1.0 + s / 6.0 + 3.0 * s * s / 40.0 + 15.0 * s * s * s / 336.0
+    g = jnp.where(s < 0.01, g_taylor, g_exact)
+    return 2.0 * v * g
 
 
 def euler_to_quat(e, order="zyx"):

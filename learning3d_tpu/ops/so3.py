@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from learning3d_tpu.ops import quaternion as quat
-from learning3d_tpu.ops.sinc import sinc1, sinc2
+from learning3d_tpu.ops.sinc import sinc1, sinc1_sq, sinc2, sinc2_sq, sinc3_sq
 
 
 def mat(w):
@@ -46,13 +46,14 @@ def genmat(dtype=jnp.float32):
 def exp(w):
     """Rodrigues: (..., 3) rotation vector -> (..., 3, 3) rotation matrix.
 
-    R = I + sinc1(t) W + sinc2(t) W^2, exact and differentiable at t=0.
+    R = I + sinc1(t) W + sinc2(t) W^2, computed from s = t^2 so every
+    autodiff order is finite at the identity (norm's gradient is NaN at 0).
     """
-    t = jnp.linalg.norm(w, axis=-1)
+    s = jnp.sum(w * w, axis=-1)
     W = mat(w)
     W2 = W @ W
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + sinc1(t)[..., None, None] * W + sinc2(t)[..., None, None] * W2
+    return eye + sinc1_sq(s)[..., None, None] * W + sinc2_sq(s)[..., None, None] * W2
 
 
 def log(R):
@@ -87,30 +88,29 @@ def inverse(R):
 def left_jacobian(w):
     """J_l(w): d(exp)/d(w) left Jacobian — the V matrix of SE(3) exp.
 
-    V = I + sinc2(t) W + sinc3(t) W^2.
+    V = I + sinc2(t) W + sinc3(t) W^2 (squared-norm formulation).
     """
-    from learning3d_tpu.ops.sinc import sinc3
-
-    t = jnp.linalg.norm(w, axis=-1)
+    s = jnp.sum(w * w, axis=-1)
     W = mat(w)
     W2 = W @ W
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + sinc2(t)[..., None, None] * W + sinc3(t)[..., None, None] * W2
+    return eye + sinc2_sq(s)[..., None, None] * W + sinc3_sq(s)[..., None, None] * W2
 
 
 def inv_left_jacobian(w):
     """J_l(w)^{-1} = I - W/2 + c(t) W^2, c = (1 - sinc1/(2 sinc2)) / t^2.
 
-    c(t) has the Taylor expansion 1/12 + t^2/720 + ... ; we use the
-    double-where-stabilized closed form.
+    c has the Taylor expansion 1/12 + s/720 + ... in s = t^2; the closed
+    form is double-where stabilized so gradients stay finite at w = 0.
     """
-    t = jnp.linalg.norm(w, axis=-1)
+    s = jnp.sum(w * w, axis=-1)
     W = mat(w)
     W2 = W @ W
     eye = jnp.eye(3, dtype=w.dtype)
-    t_safe = jnp.where(t < 0.1, jnp.ones_like(t), t)
-    c_exact = (1.0 - sinc1(t_safe) / (2.0 * sinc2(t_safe))) / (t_safe * t_safe)
-    t2 = t * t
-    c_taylor = 1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0
-    c = jnp.where(t < 0.1, c_taylor, c_exact)
+    # The numerator 1 - sinc1/(2 sinc2) is O(s): switch to Taylor below
+    # s = 1 to dodge float32 cancellation near the origin.
+    s_safe = jnp.where(s < 1.0, jnp.ones_like(s), s)
+    c_exact = (1.0 - sinc1_sq(s_safe) / (2.0 * sinc2_sq(s_safe))) / s_safe
+    c_taylor = 1.0 / 12.0 + s / 720.0 + s * s / 30240.0 + s * s * s / 1209600.0
+    c = jnp.where(s < 1.0, c_taylor, c_exact)
     return eye - 0.5 * W + c[..., None, None] * W2

@@ -1,0 +1,107 @@
+"""Ring-sharded pairwise ops for large clouds (context/sequence parallelism
+over the point axis).
+
+The reference's "sequence" axis is N points; it only ever scales N by
+subsampling (SURVEY.md §5.7). Here N can be sharded across a mesh axis:
+each device holds an N/d slice, and exact kNN / Chamfer are computed by
+rotating the partner shard around the ring with lax.ppermute while keeping
+a running top-k/min — the point-cloud analogue of ring attention. The
+(N, N) matrix never exists; peak memory is O(N^2 / d^2) per device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from learning3d_tpu.ops.geometry import square_distance
+
+
+def _ring_perm(n):
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def ring_knn(points, k, mesh, axis="model"):
+    """Exact self-kNN of (B, N, C) with N sharded over ``axis``.
+
+    Returns (sq_dists (B, N, k), global idx (B, N, k)), both sharded the
+    same way as the input. k must be <= N/d.
+    """
+    d = mesh.shape[axis]
+    N = points.shape[1]
+    chunk = N // d
+    spec = P(None, axis, None)
+
+    def local_fn(x_loc):
+        my = jax.lax.axis_index(axis)
+
+        def merge(best_d, best_i, d2, src_shard):
+            offs = src_shard * chunk
+            nd, ni = jax.lax.top_k(-d2, min(k, d2.shape[-1]))
+            ni = ni + offs
+            cat_d = jnp.concatenate([best_d, -nd], axis=-1)
+            cat_i = jnp.concatenate([best_i, ni], axis=-1)
+            nd2, order = jax.lax.top_k(-cat_d, k)
+            return -nd2, jnp.take_along_axis(cat_i, order, axis=-1)
+
+        best_d = jnp.full(x_loc.shape[:2] + (k,), jnp.inf, x_loc.dtype)
+        best_i = jnp.zeros(x_loc.shape[:2] + (k,), jnp.int32)
+        visiting = x_loc
+        src = my
+        for step in range(d):
+            d2 = square_distance(x_loc, visiting)
+            best_d, best_i = merge(best_d, best_i, d2, src)
+            if step < d - 1:
+                visiting = jax.lax.ppermute(visiting, axis, _ring_perm(d))
+                src = (src - 1) % d
+        return best_d, best_i
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec), check_rep=False
+    )
+    return fn(points)
+
+
+def ring_chamfer(x, y, mesh, axis="model"):
+    """Exact two-sided Chamfer min-distances with both clouds' point axes
+    sharded over ``axis``. Returns (d1 (B, N), d2 (B, M)) sharded."""
+    d = mesh.shape[axis]
+    spec3 = P(None, axis, None)
+    spec2 = P(None, axis)
+
+    def oneway(a_loc, b_loc):
+        best = jnp.full(a_loc.shape[:2], jnp.inf, a_loc.dtype)
+        visiting = b_loc
+        for step in range(d):
+            d2 = square_distance(a_loc, visiting)
+            best = jnp.minimum(best, jnp.min(d2, axis=-1))
+            if step < d - 1:
+                visiting = jax.lax.ppermute(visiting, axis, _ring_perm(d))
+        return best
+
+    def local_fn(x_loc, y_loc):
+        return oneway(x_loc, y_loc), oneway(y_loc, x_loc)
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec3, spec3), out_specs=(spec2, spec2),
+        check_rep=False,
+    )
+    return fn(x, y)
+
+
+def sharded_square_distance(x, y, mesh, axis="model"):
+    """(B, N, C) x (B, M, C) -> (B, N, M) with N sharded over ``axis``
+    (the result stays sharded on its N axis; y is replicated)."""
+    spec_x = P(None, axis, None)
+    spec_y = P(None, None, None)
+    spec_o = P(None, axis, None)
+
+    fn = shard_map(
+        lambda a, b: square_distance(a, b),
+        mesh=mesh, in_specs=(spec_x, spec_y), out_specs=spec_o, check_rep=False,
+    )
+    return fn(x, y)

@@ -1,0 +1,56 @@
+"""Single config dataclass with CLI override — replaces the 11 duplicated
+argparse blocks (reference examples/train_*.py:153-195)."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TrainConfig:
+    # experiment
+    exp_name: str = "exp"
+    task: str = "classification"  # classification | registration | completion | masknet | flow | segmentation
+    algorithm: str = ""  # registration transform sampler name, if task == registration
+    seed: int = 1234
+
+    # data
+    batch_size: int = 32
+    num_points: int = 1024
+    noise: bool = False
+
+    # optimization
+    optimizer: str = "adam"  # adam | sgd
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    epochs: int = 200
+    cosine_decay: bool = False
+
+    # checkpointing
+    ckpt_dir: str = "checkpoints"
+    resume: str = ""
+    save_every: int = 1
+
+    # parallel
+    mesh_shape: tuple | None = None  # e.g. (8, 1); None -> all-data mesh
+
+    extras: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_cli(cls, argv=None):
+        import argparse
+
+        parser = argparse.ArgumentParser("learning3d_tpu trainer")
+        for f in dataclasses.fields(cls):
+            if f.name in ("extras", "mesh_shape"):
+                continue
+            t = f.type if isinstance(f.type, type) else str
+            if f.type in ("bool", bool):
+                parser.add_argument(f"--{f.name}", action="store_true", default=f.default)
+            else:
+                typ = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+                parser.add_argument(f"--{f.name}", type=typ, default=f.default)
+        args = parser.parse_args(argv)
+        return cls(**vars(args))

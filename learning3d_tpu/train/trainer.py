@@ -1,0 +1,179 @@
+"""Generic Trainer: jitted sharded steps, orbax checkpointing, logging.
+
+Replaces the reference's 11 copy-pasted train/test scripts
+(examples/train_*.py — argparse + IOStream + epoch loops + best-model
+snapshotting, SURVEY.md §2.1). One instance covers every task via the
+loss functions in train.tasks. The train step is jit-compiled once; with
+a mesh, batches are sharded on the 'data' axis and XLA inserts the
+gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import optax
+from flax import nnx
+
+from learning3d_tpu.data.device_pipeline import batch_iterator
+from learning3d_tpu.parallel.mesh import make_mesh, shard_batch
+from learning3d_tpu.train.config import TrainConfig
+from learning3d_tpu.train.tasks import TASKS
+
+
+class IOStream:
+    """Append-to-file + stdout text logger (reference
+    examples/train_pointnet.py:35-45)."""
+
+    def __init__(self, path):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        self.f = open(path, "a")
+
+    def cprint(self, text):
+        print(text)
+        self.f.write(text + "\n")
+        self.f.flush()
+
+    def close(self):
+        self.f.close()
+
+
+def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    if cfg.cosine_decay:
+        sched = optax.cosine_decay_schedule(cfg.lr, cfg.epochs * max(steps_per_epoch, 1))
+    else:
+        sched = cfg.lr
+    if cfg.optimizer == "sgd":
+        tx = optax.sgd(sched, momentum=cfg.momentum)
+    else:
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay) if cfg.weight_decay else optax.adam(sched)
+    return tx
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, model: nnx.Module, loss_fn=None, mesh=None):
+        self.cfg = config
+        self.model = model
+        self.loss_fn = loss_fn or TASKS[config.task]
+        self.mesh = mesh if mesh is not None else make_mesh(shape=config.mesh_shape)
+        self.key = jax.random.PRNGKey(config.seed)
+        self.best_loss = float("inf")
+        self.epoch = 0
+        self._tx = None
+        self.optimizer = None
+        self.textio = IOStream(Path(config.ckpt_dir) / config.exp_name / "run.log")
+
+        loss_fn_ = self.loss_fn
+
+        @nnx.jit
+        def train_step(model, optimizer, batch, key):
+            def lf(m):
+                return loss_fn_(m, batch, key)
+
+            (loss, aux), grads = nnx.value_and_grad(lf, has_aux=True)(model)
+            optimizer.update(model, grads)
+            return loss, aux
+
+        @nnx.jit
+        def eval_step(model, batch, key):
+            return loss_fn_(model, batch, key)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # -- checkpointing ------------------------------------------------
+    def _ckpt_path(self, name):
+        return Path(self.cfg.ckpt_dir).resolve() / self.cfg.exp_name / name
+
+    def save(self, name="latest"):
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_path(name)
+        with ocp.StandardCheckpointer() as ck:
+            state = nnx.state(self.model)
+            ck.save(path / "model", state, force=True)
+        meta = {"epoch": self.epoch, "best_loss": self.best_loss}
+        (path / "meta.json").parent.mkdir(parents=True, exist_ok=True)
+        (path / "meta.json").write_text(json.dumps(meta))
+
+    def load(self, name="latest"):
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_path(name)
+        with ocp.StandardCheckpointer() as ck:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), nnx.state(self.model)
+            )
+            state = ck.restore(path / "model", abstract)
+        nnx.update(self.model, state)
+        meta = json.loads((path / "meta.json").read_text())
+        self.epoch = meta["epoch"]
+        self.best_loss = meta["best_loss"]
+
+    def export_feature_model(self, name="feature_model", attr="feature_model"):
+        """Save just the encoder for transfer (the reference's ptnet export,
+        train_pointnet.py:138 consumed by PointNetLK)."""
+        import orbax.checkpoint as ocp
+
+        sub = getattr(self.model, attr)
+        with ocp.StandardCheckpointer() as ck:
+            ck.save(self._ckpt_path(name) / "model", nnx.state(sub), force=True)
+
+    # -- loops --------------------------------------------------------
+    def _epoch(self, dataset, train: bool):
+        step_fn = self._train_step if train else self._eval_step
+        self.model.train() if train else self.model.eval()
+        tot_loss, tot_aux, count = 0.0, {}, 0
+        for batch in batch_iterator(
+            dataset, self.cfg.batch_size, shuffle=train, seed=self.cfg.seed + self.epoch
+        ):
+            self.key, sub = jax.random.split(self.key)
+            batch = shard_batch(self.mesh, batch)
+            if train:
+                loss, aux = step_fn(self.model, self.optimizer, batch, sub)
+            else:
+                loss, aux = step_fn(self.model, batch, sub)
+            tot_loss += float(loss)
+            for k, v in aux.items():
+                tot_aux[k] = tot_aux.get(k, 0.0) + float(np.mean(np.asarray(v)))
+            count += 1
+        n = max(count, 1)
+        return tot_loss / n, {k: v / n for k, v in tot_aux.items()}
+
+    def fit(self, train_data, test_data=None, epochs=None):
+        epochs = epochs or self.cfg.epochs
+        steps = max(len(train_data) // self.cfg.batch_size, 1)
+        if self.optimizer is None:
+            self._tx = _make_optimizer(self.cfg, steps)
+            self.optimizer = nnx.Optimizer(self.model, self._tx, wrt=nnx.Param)
+        if self.cfg.resume:
+            self.load(self.cfg.resume)
+        start = self.epoch
+        for ep in range(start, epochs):
+            self.epoch = ep
+            t0 = time.time()
+            train_loss, train_aux = self._epoch(train_data, train=True)
+            msg = f"epoch {ep}: train_loss={train_loss:.6f}"
+            if test_data is not None:
+                test_loss, test_aux = self._epoch(test_data, train=False)
+                msg += f" test_loss={test_loss:.6f}"
+                for k, v in {**test_aux}.items():
+                    msg += f" {k}={v:.4f}"
+                if test_loss < self.best_loss:
+                    self.best_loss = test_loss
+                    self.save("best")
+            for k, v in train_aux.items():
+                msg += f" train_{k}={v:.4f}"
+            msg += f" ({time.time() - t0:.1f}s)"
+            self.textio.cprint(msg)
+            if (ep + 1) % self.cfg.save_every == 0:
+                self.save("latest")
+        return self.best_loss
+
+    def evaluate(self, test_data):
+        return self._epoch(test_data, train=False)

@@ -35,19 +35,20 @@ class MLP1d(nnx.Module):
     ):
         self.act = act
         self.act_last = act_last
-        self.layers = []
-        self.norms = []
+        layers, norms = [], []
         for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
-            self.layers.append(nnx.Linear(din, dout, dtype=dtype, rngs=rngs))
+            layers.append(nnx.Linear(din, dout, dtype=dtype, rngs=rngs))
             last = i == len(dims) - 2
             if norm is None or (last and not norm_last):
-                self.norms.append(None)
+                norms.append(None)
             elif norm == "batch":
-                self.norms.append(nnx.BatchNorm(dout, use_running_average=True, dtype=dtype, rngs=rngs))
+                norms.append(nnx.BatchNorm(dout, use_running_average=False, dtype=dtype, rngs=rngs))
             elif norm == "group":
-                self.norms.append(nnx.GroupNorm(dout, num_groups=min(8, dout), dtype=dtype, rngs=rngs))
+                norms.append(nnx.GroupNorm(dout, num_groups=min(8, dout), dtype=dtype, rngs=rngs))
             else:
                 raise ValueError(norm)
+        self.layers = nnx.List(layers)
+        self.norms = nnx.List(norms)
 
     def __call__(self, x):
         n = len(self.layers)

@@ -96,14 +96,14 @@ class Transformer(nnx.Module):
         rngs: nnx.Rngs,
     ):
         self.emb_dims = emb_dims
-        self.enc_layers = [
+        self.enc_layers = nnx.List([
             _EncoderLayer(emb_dims, n_heads, ff_dims, dtype=dtype, rngs=rngs)
             for _ in range(n_blocks)
-        ]
-        self.dec_layers = [
+        ])
+        self.dec_layers = nnx.List([
             _DecoderLayer(emb_dims, n_heads, ff_dims, dtype=dtype, rngs=rngs)
             for _ in range(n_blocks)
-        ]
+        ])
         self.enc_norm = nnx.LayerNorm(emb_dims, dtype=dtype, rngs=rngs)
         self.dec_norm = nnx.LayerNorm(emb_dims, dtype=dtype, rngs=rngs)
 

@@ -1,0 +1,204 @@
+"""Model forward smoke + contract tests (shapes, result-dict keys,
+finiteness, and registration sanity on easy cases). Small sizes: this
+suite runs on the CPU fake backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from learning3d_tpu import models
+from learning3d_tpu.ops import se3
+
+B, N = 2, 64
+REG_KEYS = {"est_R", "est_t", "est_T", "transformed_source"}
+
+
+def clouds(seed=0, n=N, c=3):
+    return jax.random.normal(jax.random.PRNGKey(seed), (B, n, c))
+
+
+def check_reg_result(result, n=N):
+    assert REG_KEYS <= set(result)
+    assert result["est_R"].shape == (B, 3, 3)
+    assert result["est_t"].shape == (B, 3)
+    assert result["est_T"].shape == (B, 4, 4)
+    assert result["transformed_source"].shape == (B, n, 3)
+    for k in REG_KEYS:
+        assert np.all(np.isfinite(np.asarray(result[k]))), k
+    # est_R orthonormality
+    R = np.asarray(result["est_R"])
+    np.testing.assert_allclose(
+        R @ R.transpose(0, 2, 1), np.tile(np.eye(3), (B, 1, 1)), atol=1e-3
+    )
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-3)
+
+
+class TestEncoders:
+    def test_pointnet_shapes(self):
+        pn = models.PointNet(emb_dims=128, use_bn=True, rngs=nnx.Rngs(0))
+        out = pn(clouds())
+        assert out.shape == (B, N, 128)
+        pn_seg = models.PointNet(emb_dims=128, use_bn=True, global_feat=False, rngs=nnx.Rngs(0))
+        out = pn_seg(clouds())
+        assert out.shape == (B, N, 128 + 64)
+
+    def test_pointnet_bcn(self):
+        pn = models.PointNet(emb_dims=64, input_shape="bcn", rngs=nnx.Rngs(0))
+        out = pn(jnp.swapaxes(clouds(), 1, 2))
+        assert out.shape == (B, N, 64)
+
+    def test_dgcnn(self):
+        m = models.DGCNN(emb_dims=96, k=8, rngs=nnx.Rngs(0))
+        out = m(clouds())
+        assert out.shape == (B, N, 96)
+
+    def test_ppfnet(self):
+        m = models.PPFNet(emb_dims=32, num_neighbors=8, rngs=nnx.Rngs(0))
+        xyz = clouds()
+        normals = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        out = m(xyz, normals)
+        assert out.shape == (B, N, 32)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-4)
+
+
+class TestHeads:
+    def test_classifier(self):
+        pn = models.PointNet(emb_dims=128, use_bn=True, rngs=nnx.Rngs(0))
+        clf = models.Classifier(pn, num_classes=40, rngs=nnx.Rngs(1))
+        out = clf(clouds())
+        assert out.shape == (B, 40)
+
+    def test_segmentation(self):
+        pn = models.PointNet(emb_dims=128, use_bn=True, global_feat=False, rngs=nnx.Rngs(0))
+        seg = models.Segmentation(pn, num_classes=40, rngs=nnx.Rngs(1))
+        out = seg(clouds())
+        assert out.shape == (B, N, 40)
+
+
+class TestRegistration:
+    def test_dcp_contract(self):
+        dg = models.DGCNN(emb_dims=64, k=8, rngs=nnx.Rngs(0))
+        dcp = models.DCP(dg, rngs=nnx.Rngs(1))
+        dcp.eval()
+        result = dcp(clouds(0), clouds(1))
+        check_reg_result(result)
+        assert "r" in result
+
+    def test_svd_head_recovers_transform(self):
+        # near-one-hot correspondences on a rigidly transformed cloud:
+        # the head must recover the exact transform.
+        from learning3d_tpu.utils.svd import SVDHead
+
+        src = clouds(3)
+        igt = se3.exp(0.5 * jax.random.normal(jax.random.PRNGKey(30), (B, 6)))
+        tgt = se3.transform(igt, src)
+        # embeddings whose pairwise dots make the true correspondence
+        # dominate the softmax
+        emb = 40.0 * jax.random.normal(jax.random.PRNGKey(31), (B, N, 32))
+        R, t, _ = SVDHead(32)(emb, emb, src, tgt)
+        np.testing.assert_allclose(R, np.asarray(igt[:, :3, :3]), atol=1e-3)
+        np.testing.assert_allclose(t, np.asarray(igt[:, :3, 3]), atol=1e-3)
+
+    def test_ipcrnet_contract(self):
+        pn = models.PointNet(emb_dims=128, rngs=nnx.Rngs(0))
+        net = models.iPCRNet(pn, rngs=nnx.Rngs(1))
+        net.eval()
+        result = net(clouds(0), clouds(1), max_iteration=2)
+        check_reg_result(result)
+
+    def test_pointnetlk_contract_and_series(self):
+        pn = models.PointNet(emb_dims=64, use_bn=True, rngs=nnx.Rngs(0))
+        net = models.PointNetLK(pn, damping=1e-4)
+        net.eval()
+        result = net(clouds(0), clouds(1), maxiter=3)
+        check_reg_result(result)
+        assert result["est_T_series"].shape == (4, B, 4, 4)
+        assert result["r"].shape == (B, 64)
+
+    def test_pointnetlk_converges_on_small_transform(self):
+        pn = models.PointNet(emb_dims=64, rngs=nnx.Rngs(0))
+        net = models.PointNetLK(pn, damping=1e-5)
+        net.eval()
+        template = clouds(5, n=128)
+        igt = se3.exp(0.05 * jax.random.normal(jax.random.PRNGKey(9), (B, 6)))
+        source = se3.transform(igt, template)
+        result = net(template, source, maxiter=10)
+        # est_T should invert igt (a random untrained encoder still gives
+        # a usable LK signal for tiny transforms)
+        err = np.asarray(result["est_T"] @ igt - jnp.eye(4))
+        assert np.abs(err).max() < 0.2
+
+    def test_rpmnet_contract(self):
+        net = models.RPMNet(
+            models.PPFNet(emb_dims=32, num_neighbors=8, rngs=nnx.Rngs(0)), rngs=nnx.Rngs(1)
+        )
+        net.eval()
+        xyz = clouds(0)
+        normals = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        template = jnp.concatenate([xyz, normals], -1)
+        source = jnp.concatenate([clouds(1), normals], -1)
+        result = net(template, source, max_iterations=2)
+        check_reg_result(result)
+        assert len(result["transforms"]) == 2
+        # permutation matrices near doubly stochastic (rows/cols <= 1)
+        perm = np.asarray(result["perm_matrices"][0])
+        assert perm.sum(-1).max() <= 1.01 and perm.sum(-2).max() <= 1.01
+
+    def test_deepgmr_contract(self):
+        net = models.DeepGMR(use_rri=False, d_model=64, n_clusters=8, rngs=nnx.Rngs(0))
+        net.eval()
+        result = net(clouds(0), clouds(1))
+        check_reg_result(result)
+        assert "est_T_inverse" in result
+
+    def test_prnet_contract_and_loss(self):
+        net = models.PRNet(
+            emb_dims=64, num_keypoints=32, num_subsampled_points=48, num_iters=2,
+            rngs=nnx.Rngs(0),
+        )
+        net.eval()
+        src, tgt = clouds(0, n=48), clouds(1, n=48)
+        result = net(src, tgt)
+        check_reg_result(result, n=48)
+        igt = se3.exp(0.3 * jax.random.normal(jax.random.PRNGKey(2), (B, 6)))
+        result = net(src, tgt, igt=se3.inverse(igt))
+        assert np.isfinite(float(result["loss"]))
+
+
+class TestOther:
+    def test_pcn(self):
+        net = models.PCN(emb_dims=256, num_coarse=128, detailed_output=True, rngs=nnx.Rngs(0))
+        result = net(clouds())
+        assert result["coarse_output"].shape == (B, 128, 3)
+        assert result["fine_output"].shape == (B, 128 * 16, 3)
+
+    def test_masknet(self):
+        pn = models.PointNet(emb_dims=128, use_bn=True, rngs=nnx.Rngs(0))
+        net = models.MaskNet(pn, rngs=nnx.Rngs(1))
+        net.eval()
+        template, source = clouds(0), clouds(1, n=48)
+        masked_template, mask = net(template, source)
+        assert masked_template.shape == (B, 48, 3)
+        assert mask.shape == (B, N)
+        assert np.all((np.asarray(mask) >= 0) & (np.asarray(mask) <= 1))
+
+    def test_masknet2(self):
+        net = models.MaskNet2(rngs=nnx.Rngs(0))
+        net.eval()
+        tm, sm = net(clouds(0), clouds(1, n=48))
+        assert tm.shape == (B, N)
+        assert sm.shape == (B, 48)
+
+    def test_jit_compiles_classifier(self):
+        pn = models.PointNet(emb_dims=64, use_bn=True, rngs=nnx.Rngs(0))
+        clf = models.Classifier(pn, rngs=nnx.Rngs(1))
+        clf.eval()
+
+        @nnx.jit
+        def fwd(model, x):
+            return model(x)
+
+        out = fwd(clf, clouds())
+        assert out.shape == (B, 40)

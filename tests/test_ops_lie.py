@@ -10,15 +10,21 @@ from learning3d_tpu.ops import quaternion as quat
 from learning3d_tpu.ops import se3, sinc, so3
 
 
-def rand_w(key, n, scale=2.0):
-    return scale * jax.random.normal(key, (n, 3))
+def rand_w(key, n, scale=2.0, max_norm=3.0):
+    """Random rotation vectors with |w| < max_norm (< pi for roundtrip
+    tests: the principal log cannot recover |w| > pi)."""
+    w = scale * jax.random.normal(key, (n, 3))
+    nrm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    return w * jnp.minimum(nrm, max_norm) / jnp.maximum(nrm, 1e-9)
 
 
 class TestSinc:
     def test_values_match_analytic(self):
         # Avoid |t| ~ 0 where the float32 numpy reference itself cancels
         # catastrophically; t=0 is checked exactly below.
-        tt = np.concatenate([np.linspace(-3.0, -1e-3, 50), np.linspace(1e-3, 3.0, 50)]).astype(
+        # |t| >= 0.05: below that even the float64 oracle for sinc4's
+        # O(t^4) numerator loses digits; t=0 is checked exactly below.
+        tt = np.concatenate([np.linspace(-3.0, -0.05, 50), np.linspace(0.05, 3.0, 50)]).astype(
             np.float32
         )
         t = jnp.asarray(tt)
@@ -59,8 +65,15 @@ class TestSO3:
 
     def test_exp_log_roundtrip(self):
         key = jax.random.PRNGKey(1)
-        w = rand_w(key, 64, scale=1.0)
+        w = rand_w(key, 64, scale=1.0, max_norm=3.0)
         np.testing.assert_allclose(so3.log(so3.exp(w)), w, atol=1e-4)
+
+    def test_log_principal_for_large_angles(self):
+        # |w| > pi: log returns the equivalent principal rotation vector.
+        w = jnp.asarray([[4.0, 1.0, -2.0], [0.0, 5.0, 0.0]])
+        w2 = so3.log(so3.exp(w))
+        assert np.all(np.linalg.norm(np.asarray(w2), axis=-1) <= np.pi + 1e-4)
+        np.testing.assert_allclose(so3.exp(w2), so3.exp(w), atol=1e-4)
 
     def test_log_near_pi(self):
         axis = np.array([[1.0, 0, 0], [0, 1.0, 0], [0.577, 0.577, 0.577]])
@@ -110,6 +123,9 @@ class TestSE3:
     def test_exp_log_roundtrip(self):
         key = jax.random.PRNGKey(5)
         x = jax.random.normal(key, (32, 6))
+        # keep rotation part below pi (principal-log domain)
+        w = rand_w(jax.random.PRNGKey(50), 32, scale=1.0, max_norm=3.0)
+        x = x.at[:, :3].set(w)
         np.testing.assert_allclose(se3.log(se3.exp(x)), x, atol=1e-4)
 
     def test_exp_identity(self):
@@ -169,15 +185,20 @@ class TestQuaternion:
         np.testing.assert_allclose(q12, ref * sign, atol=1e-5)
 
     def test_axis_angle_roundtrip(self):
-        key = jax.random.PRNGKey(10)
-        w = 2.0 * jax.random.normal(key, (32, 3))
+        w = rand_w(jax.random.PRNGKey(10), 32, scale=2.0, max_norm=3.0)
         q = quat.axis_angle_to_quat(w)
         np.testing.assert_allclose(quat.quat_to_axis_angle(q), w, atol=1e-4)
 
+    def test_axis_angle_grad_finite_at_zero(self):
+        j = jax.jacobian(quat.axis_angle_to_quat)(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(j)))
+
     def test_euler_matches_scipy(self):
+        # euler_to_quat composes INTRINSICALLY in the given order — scipy's
+        # uppercase convention (lowercase in scipy means extrinsic).
         e = np.random.RandomState(4).uniform(-1.0, 1.0, (16, 3)).astype(np.float32)
         q = quat.euler_to_quat(jnp.asarray(e), "zyx")
-        ref = Rotation.from_euler("zyx", e).as_quat(scalar_first=True)
+        ref = Rotation.from_euler("ZYX", e).as_quat(scalar_first=True)
         sign = np.sign(np.sum(np.asarray(q) * ref, axis=-1, keepdims=True))
         np.testing.assert_allclose(q, ref * sign, atol=1e-5)
 
