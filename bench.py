@@ -3,29 +3,54 @@
 Metric: ModelNet40-shaped PointNet-classifier inference throughput
 (clouds/sec/chip) on the attached TPU, bf16 compute. ``vs_baseline``
 compares against an estimated H100 PyTorch eager inference throughput for
-the same model (see _H100_BASELINE below; the reference publishes no
-throughput numbers — its logs only contain accuracy curves, BASELINE.md).
+the same model (_H100_BASELINE; the reference publishes no throughput
+numbers — its logs only contain accuracy curves, BASELINE.md).
 
-Run directly: python bench.py [--batch 512] [--points 1024] [--all]
+Timing method: K forward passes run inside ONE compiled fori_loop and the
+device time per pass is the difference quotient (t_K - t_1)/(K - 1) with a
+scalar host fetch as the barrier. This cancels host->device dispatch /
+tunnel round-trip latency, which on proxied TPU attachments can be tens of
+ms and makes naive `block_until_ready` loops meaningless (it does not
+synchronize with remote execution there).
+
+Run directly: python bench.py [--batch 256] [--points 1024] [--all]
 """
 
 import argparse
+import functools
 import json
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
-# Estimated H100 PyTorch eager inference throughput for reference
-# learning3d PointNet(emb=1024)+Classifier, B=512, N=1024, fp16/TF32 —
-# derived from the model's ~0.3 GFLOP/cloud forward cost and typical torch
-# eager smalll-conv efficiency on H100 (~5-10% MXU util at this size).
+# Estimated H100 PyTorch eager inference throughput for the reference
+# learning3d PointNet(emb=1024)+Classifier at N=1024 — from the model's
+# ~0.3 GFLOP/cloud forward cost at typical torch-eager small-conv
+# efficiency on H100 (~10-20 TFLOPs effective at this size).
 _H100_BASELINE = 60_000.0  # clouds/sec
 
+_FLOPS_PER_CLOUD_PN = 0.302e9  # PointNet(emb 1024) forward, N=1024
 
-def bench_pointnet_cls(batch=512, points=1024, dtype=jnp.bfloat16, iters=50):
+
+def _timed_per_iter(fn_many, iters=21, reps=3):
+    """min over reps of (t_iters - t_1) / (iters - 1), host-fetch barrier."""
+    float(fn_many(1))
+    float(fn_many(iters))  # compile both trip counts
+
+    def t(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn_many(n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(iters) - t(1)) / (iters - 1)
+
+
+def bench_pointnet_cls(batch=256, points=1024, dtype=jnp.bfloat16):
     from learning3d_tpu.models import Classifier, PointNet
 
     model = Classifier(
@@ -36,46 +61,46 @@ def bench_pointnet_cls(batch=512, points=1024, dtype=jnp.bfloat16, iters=50):
     )
     model.eval()
     graphdef, state = nnx.split(model)
-
-    @jax.jit
-    def fwd(state, x):
-        return nnx.merge(graphdef, state)(x)
-
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3), jnp.float32)
-    fwd(state, x).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(state, x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n, state, x):
+        m = nnx.merge(graphdef, state)
+
+        def body(i, acc):
+            return acc + jnp.sum(m(x + 1e-4 * i))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = _timed_per_iter(lambda n: many(n, state, x))
+    return batch / per
 
 
-def bench_dcp(batch=32, points=1024, dtype=jnp.bfloat16, iters=20):
+def bench_dcp(batch=32, points=1024, dtype=jnp.bfloat16):
     from learning3d_tpu.models import DCP, DGCNN
 
     model = DCP(DGCNN(emb_dims=512, dtype=dtype, rngs=nnx.Rngs(0)), dtype=dtype, rngs=nnx.Rngs(1))
     model.eval()
     graphdef, state = nnx.split(model)
-
-    @jax.jit
-    def fwd(state, t, s):
-        return nnx.merge(graphdef, state)(t, s)["est_T"]
-
     t = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3), jnp.float32)
     s = jax.random.normal(jax.random.PRNGKey(1), (batch, points, 3), jnp.float32)
-    fwd(state, t, s).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(state, t, s)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n, state, t, s):
+        m = nnx.merge(graphdef, state)
+
+        def body(i, acc):
+            return acc + jnp.sum(m(t + 1e-4 * i, s)["est_T"])
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = _timed_per_iter(lambda n: many(n, state, t, s), iters=11)
+    return batch / per
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--batch", type=int, default=256)
     p.add_argument("--points", type=int, default=1024)
     p.add_argument("--all", action="store_true", help="also bench DCP registration")
     args = p.parse_args()
@@ -86,6 +111,7 @@ def main():
         "value": round(value, 1),
         "unit": "clouds/s",
         "vs_baseline": round(value / _H100_BASELINE, 3),
+        "effective_tflops": round(value * _FLOPS_PER_CLOUD_PN / 1e12, 1),
     }
     if args.all:
         result["dcp_clouds_per_sec"] = round(bench_dcp(), 1)

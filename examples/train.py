@@ -56,7 +56,11 @@ def build_model(name, args, rngs):
         return models.PCN(emb_dims=1024, rngs=rngs)
     if name == "flownet":
         return models.FlowNet3D(rngs=rngs)
-    raise ValueError(name)
+    raise ValueError(
+        f"unknown model {name!r}; choose from: pointnet, pointconv, curvenet, "
+        "dgcnn-cls, segmentation, dcp, prnet, ipcrnet, pointnetlk, rpmnet, "
+        "deepgmr, masknet, masknet2, pcn, flownet"
+    )
 
 
 def build_dataset(args, train):

@@ -27,41 +27,47 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _nn_kernel(x_ref, y_ref, min_ref, idx_ref, *, m_valid, tile_m):
-    """One (batch, x-tile, y-tile) grid step: running min over y tiles."""
+def _nn_kernel(x_ref, y_ref, min_ref, idx_ref, *, m_valid, tile_m, sub):
+    """One (batch, x-tile, y-tile) grid step: running min over y tiles.
+
+    Outputs are written as (sub, 128) tiles — TPU requires the last two
+    block dims to be (8k, 128k)-aligned, so the per-point vectors live in
+    (B, n_tiles, sub, 128) layout and are flattened by the caller.
+    """
     j = pl.program_id(2)
     xt = x_ref[0]  # (3, TN)
     yt = y_ref[0]  # (3, TM)
-    xsq = jnp.sum(xt * xt, axis=0)  # (TN,)
-    ysq = jnp.sum(yt * yt, axis=0)  # (TM,)
-    cross = jax.lax.dot_general(
-        xt, yt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (TN, TM)
-    d = xsq[:, None] + ysq[None, :] - 2.0 * cross
+    # Exact f32 differences on the VPU — with C=3 the MXU form would
+    # round inputs to bf16 and costs nothing to avoid.
+    d0 = xt[0][:, None] - yt[0][None, :]
+    d1 = xt[1][:, None] - yt[1][None, :]
+    d2 = xt[2][:, None] - yt[2][None, :]
+    d = d0 * d0 + d1 * d1 + d2 * d2  # (TN, TM)
     # Mask out padded y columns.
     col = j * tile_m + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     d = jnp.where(col < m_valid, d, _BIG)
 
-    local_min = jnp.min(d, axis=1)  # (TN,)
-    local_arg = (j * tile_m + jnp.argmin(d, axis=1)).astype(jnp.int32)
+    local_min = jnp.min(d, axis=1).reshape(sub, 128)
+    local_arg = (j * tile_m + jnp.argmin(d, axis=1)).astype(jnp.int32).reshape(sub, 128)
 
     @pl.when(j == 0)
     def _():
-        min_ref[0] = local_min
-        idx_ref[0] = local_arg
+        min_ref[0, 0] = local_min
+        idx_ref[0, 0] = local_arg
 
     @pl.when(j > 0)
     def _():
-        better = local_min < min_ref[0]
-        idx_ref[0] = jnp.where(better, local_arg, idx_ref[0])
-        min_ref[0] = jnp.minimum(local_min, min_ref[0])
+        better = local_min < min_ref[0, 0]
+        idx_ref[0, 0] = jnp.where(better, local_arg, idx_ref[0, 0])
+        min_ref[0, 0] = jnp.minimum(local_min, min_ref[0, 0])
 
 
-def _nn_oneway_pallas(x, y, tile_n=512, tile_m=512):
+def _nn_oneway_pallas(x, y, tile_n=1024, tile_m=1024):
     """x (B, N, 3), y (B, M, 3) -> (min_sqdist (B, N), argmin (B, N))."""
     B, N, _ = x.shape
     M = y.shape[1]
     Np, Mp = _round_up(N, tile_n), _round_up(M, tile_m)
+    sub = tile_n // 128
     xt = jnp.swapaxes(x, 1, 2)  # (B, 3, N)
     yt = jnp.swapaxes(y, 1, 2)
     if Np != N:
@@ -69,27 +75,30 @@ def _nn_oneway_pallas(x, y, tile_n=512, tile_m=512):
     if Mp != M:
         yt = jnp.pad(yt, ((0, 0), (0, 0), (0, Mp - M)))
 
-    grid = (B, Np // tile_n, Mp // tile_m)
+    n_tiles = Np // tile_n
+    grid = (B, n_tiles, Mp // tile_m)
     mind, argd = pl.pallas_call(
-        functools.partial(_nn_kernel, m_valid=M, tile_m=tile_m),
+        functools.partial(_nn_kernel, m_valid=M, tile_m=tile_m, sub=sub),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 3, tile_n), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, tile_m), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_n), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sub, 128), lambda b, i, j: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sub, 128), lambda b, i, j: (b, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Np), jnp.float32),
-            jax.ShapeDtypeStruct((B, Np), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_tiles, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, sub, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Np * Mp * 3, bytes_accessed=4 * B * (3 * Np + 3 * Mp * (Np // tile_n)), transcendentals=0
+            flops=2 * B * Np * Mp * 3,
+            bytes_accessed=4 * B * (3 * Np + 3 * Mp * (Np // tile_n)),
+            transcendentals=0,
         ),
     )(xt, yt)
-    return mind[:, :N], argd[:, :N]
+    return mind.reshape(B, Np)[:, :N], argd.reshape(B, Np)[:, :N]
 
 
 def _nn_oneway_xla(x, y):

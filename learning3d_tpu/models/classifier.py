@@ -17,10 +17,10 @@ class Classifier(nnx.Module):
         self.num_classes = num_classes
         emb = feature_model.emb_dims
         self.linear1 = nnx.Linear(emb, 512, dtype=dtype, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(512, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn1 = nnx.BatchNorm(512, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.dropout1 = nnx.Dropout(0.7, rngs=rngs)
         self.linear2 = nnx.Linear(512, 256, dtype=dtype, rngs=rngs)
-        self.bn2 = nnx.BatchNorm(256, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn2 = nnx.BatchNorm(256, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.dropout2 = nnx.Dropout(0.7, rngs=rngs)
         self.linear3 = nnx.Linear(256, num_classes, dtype=dtype, rngs=rngs)
         self.pooling = Pooling("max")

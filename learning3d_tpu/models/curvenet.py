@@ -54,9 +54,9 @@ class CurveNet(nnx.Module):
         self.cic42 = mk(64, 0.4, 512, 512, 4, cc[3])
 
         self.conv0_lin = nnx.Linear(512, 1024, use_bias=False, dtype=dtype, rngs=rngs)
-        self.conv0_bn = nnx.BatchNorm(1024, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.conv0_bn = nnx.BatchNorm(1024, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.conv1 = nnx.Linear(1024 * 2, 512, use_bias=False, dtype=dtype, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(512, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn1 = nnx.BatchNorm(512, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.dp1 = nnx.Dropout(0.5, rngs=rngs)
         self.conv2 = nnx.Linear(512, num_classes, dtype=dtype, rngs=rngs)
 

@@ -29,7 +29,7 @@ class MLPHead(nnx.Module):
             nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
         ])
         self.bns = nnx.List([
-            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
             for o in dims[1:]
         ])
         self.proj_rot = nnx.Linear(emb_dims // 8, 4, dtype=dtype, rngs=rngs)

@@ -44,12 +44,9 @@ def gmm_register(pi_s, mu_s, mu_t, sigma_t):
         (mu_t - c_t),
         sigma_inv,
     )  # (B, 3, 3)
-    U, _, Vt = jnp.linalg.svd(Ms.astype(jnp.float32))
-    V = jnp.swapaxes(Vt, -1, -2)
-    Ut = jnp.swapaxes(U, -1, -2)
-    det = jnp.linalg.det(V @ Ut)
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = (V * D[:, None, :]) @ Ut
+    from learning3d_tpu.utils.svd3 import kabsch_rotation_3x3
+
+    R = kabsch_rotation_3x3(Ms.astype(jnp.float32))
     t = c_t[:, 0, :] - jnp.einsum("bij,bj->bi", R, c_s[:, 0, :])
     return se3.from_rt(R, t)
 
@@ -57,7 +54,7 @@ def gmm_register(pi_s, mu_s, mu_t, sigma_t):
 class Conv1dBNReLU(nnx.Module):
     def __init__(self, i, o, *, dtype=None, rngs: nnx.Rngs):
         self.lin = nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs)
-        self.bn = nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn = nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
 
     def __call__(self, x):
         return jax.nn.relu(self.bn(self.lin(x)))

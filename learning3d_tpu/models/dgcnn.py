@@ -27,7 +27,7 @@ class DGCNN(nnx.Module):
             nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs) for i, o in dims
         ])
         self.bns = nnx.List([
-            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
             for _, o in dims
         ])
 

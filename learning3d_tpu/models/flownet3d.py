@@ -27,7 +27,7 @@ from learning3d_tpu.ops.geometry import (
 class _ConvBN2d(nnx.Module):
     def __init__(self, i, o, *, dtype=None, rngs: nnx.Rngs):
         self.lin = nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs)
-        self.bn = nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn = nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
 
     def __call__(self, x):
         return jax.nn.relu(self.bn(self.lin(x)))
@@ -159,7 +159,7 @@ class FlowNet3D(nnx.Module):
         self.su3 = PointNetSetUpConv(8, 0.6, 64, 256, [128, 128, 256], [256], dtype=dtype, rngs=rngs)
         self.fp = PointNetFeaturePropogation(256 + 3, [256, 256], dtype=dtype, rngs=rngs)
         self.conv1 = nnx.Linear(256, 128, use_bias=False, dtype=dtype, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(128, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn1 = nnx.BatchNorm(128, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.conv2 = nnx.Linear(128, 3, dtype=dtype, rngs=rngs)
 
     def __call__(self, pc1, pc2, feature1, feature2):

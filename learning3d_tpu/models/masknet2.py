@@ -28,7 +28,7 @@ class BasicConv1D(nnx.Module):
 
     def __init__(self, in_ch, out_ch, active=True, *, dtype=None, rngs: nnx.Rngs):
         self.conv = nnx.Linear(in_ch, out_ch, use_bias=False, dtype=dtype, rngs=rngs)
-        self.bn = nnx.BatchNorm(out_ch, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn = nnx.BatchNorm(out_ch, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.active = active
 
     def __call__(self, x):

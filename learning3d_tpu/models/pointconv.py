@@ -27,7 +27,7 @@ from learning3d_tpu.ops.grouping import (
 class _Conv2dBN(nnx.Module):
     def __init__(self, i, o, *, dtype=None, rngs: nnx.Rngs):
         self.lin = nnx.Linear(i, o, dtype=dtype, rngs=rngs)
-        self.bn = nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn = nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
 
     def __call__(self, x):
         return jax.nn.relu(self.bn(self.lin(x)))
@@ -74,7 +74,7 @@ class PointConvDensitySetAbstraction(nnx.Module):
         ])
         self.weightnet = WeightNet(3, 16, dtype=dtype, rngs=rngs)
         self.linear = nnx.Linear(16 * mlp[-1], mlp[-1], dtype=dtype, rngs=rngs)
-        self.bn_linear = nnx.BatchNorm(mlp[-1], use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn_linear = nnx.BatchNorm(mlp[-1], use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.densitynet = DensityNet(dtype=dtype, rngs=rngs)
 
     def __call__(self, xyz, points):
@@ -138,10 +138,10 @@ class PointConvDensityClsSsg(nnx.Module):
         )
         if classifier:
             self.fc1 = nnx.Linear(emb_dims, 512, dtype=dtype, rngs=rngs)
-            self.bn1 = nnx.BatchNorm(512, use_running_average=False, dtype=dtype, rngs=rngs)
+            self.bn1 = nnx.BatchNorm(512, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
             self.drop1 = nnx.Dropout(0.7, rngs=rngs)
             self.fc2 = nnx.Linear(512, 256, dtype=dtype, rngs=rngs)
-            self.bn2 = nnx.BatchNorm(256, use_running_average=False, dtype=dtype, rngs=rngs)
+            self.bn2 = nnx.BatchNorm(256, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
             self.drop2 = nnx.Dropout(0.7, rngs=rngs)
             self.fc3 = nnx.Linear(256, num_classes, dtype=dtype, rngs=rngs)
 

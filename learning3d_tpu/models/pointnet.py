@@ -45,7 +45,7 @@ class PointNet(nnx.Module):
         ])
         if use_bn:
             self.bns = nnx.List([
-                nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+                nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
                 for o in dims[1:]
             ])
         else:

@@ -35,8 +35,12 @@ class PointNetLK(nnx.Module):
         p0_zero_mean: bool = True,
         p1_zero_mean: bool = True,
         pooling: str = "max",
-        damping: float = 0.0,
+        damping: float = 1e-6,
     ):
+        # damping: Tikhonov term on J^T J. The reference instead catches the
+        # singular-matrix RuntimeError and returns identity
+        # (pointnetlk.py:138-156); a tiny damping keeps the solve finite
+        # without the data-dependent control flow.
         self.feature_model = feature_model
         self.pooling = Pooling(pooling)
         dt = jnp.full((1, 6), delta, dtype=jnp.float32)

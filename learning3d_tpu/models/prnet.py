@@ -48,7 +48,7 @@ class PRPointNet(nnx.Module):
             for i, o in zip(dims[:-1], dims[1:])
         ])
         self.bns = nnx.List([
-            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
             for o in dims[1:]
         ])
 
@@ -70,7 +70,7 @@ class PRDGCNN(nnx.Module):
             nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs) for i, o in dims
         ])
         self.bns = nnx.List([
-            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
             for _, o in dims
         ])
 
@@ -94,7 +94,7 @@ class TemperatureNet(nnx.Module):
             nnx.Linear(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
         ])
         self.bns = nnx.List([
-            nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+            nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
             for o in dims[1:]
         ])
         self.head = nnx.Linear(128, 1, dtype=dtype, rngs=rngs)

@@ -17,9 +17,9 @@ class Segmentation(nnx.Module):
         self.conv2 = nnx.Linear(512, 256, dtype=dtype, rngs=rngs)
         self.conv3 = nnx.Linear(256, 128, dtype=dtype, rngs=rngs)
         self.conv4 = nnx.Linear(128, num_classes, dtype=dtype, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(512, use_running_average=False, dtype=dtype, rngs=rngs)
-        self.bn2 = nnx.BatchNorm(256, use_running_average=False, dtype=dtype, rngs=rngs)
-        self.bn3 = nnx.BatchNorm(128, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn1 = nnx.BatchNorm(512, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
+        self.bn2 = nnx.BatchNorm(256, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
+        self.bn3 = nnx.BatchNorm(128, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
 
     def __call__(self, input_data):
         x = self.feature_model(input_data)  # (B, N, emb + 64)

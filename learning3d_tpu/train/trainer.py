@@ -67,6 +67,15 @@ class Trainer:
         self._tx = None
         self.optimizer = None
         self.textio = IOStream(Path(config.ckpt_dir) / config.exp_name / "run.log")
+        self.writer = None
+        try:  # tensorboard scalars, like the reference's SummaryWriter
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(
+                logdir=str(Path(config.ckpt_dir) / config.exp_name / "tb")
+            )
+        except Exception:
+            pass
 
         loss_fn_ = self.loss_fn
 
@@ -171,6 +180,15 @@ class Trainer:
                 msg += f" train_{k}={v:.4f}"
             msg += f" ({time.time() - t0:.1f}s)"
             self.textio.cprint(msg)
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", train_loss, ep)
+                for k, v in train_aux.items():
+                    self.writer.add_scalar(f"train/{k}", v, ep)
+                if test_data is not None:
+                    self.writer.add_scalar("test/loss", test_loss, ep)
+                    self.writer.add_scalar("test/best_loss", self.best_loss, ep)
+                    for k, v in test_aux.items():
+                        self.writer.add_scalar(f"test/{k}", v, ep)
             if (ep + 1) % self.cfg.save_every == 0:
                 self.save("latest")
         return self.best_loss

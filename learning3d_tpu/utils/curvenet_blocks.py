@@ -35,7 +35,7 @@ def st_gumbel_softmax(logits, axis=-1, temperature=1.0):
 class _ConvBNLRelu(nnx.Module):
     def __init__(self, i, o, act=True, bias=False, slope=0.2, *, dtype=None, rngs: nnx.Rngs):
         self.lin = nnx.Linear(i, o, use_bias=bias, dtype=dtype, rngs=rngs)
-        self.bn = nnx.BatchNorm(o, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.bn = nnx.BatchNorm(o, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.act = act
         self.slope = slope
 
@@ -56,9 +56,9 @@ class Walk(nnx.Module):
         self.curve_length = curve_length
         self.k = k
         self.agent_lin = nnx.Linear(in_channel * 2, 1, use_bias=False, dtype=dtype, rngs=rngs)
-        self.agent_bn = nnx.BatchNorm(1, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.agent_bn = nnx.BatchNorm(1, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.momentum_lin = nnx.Linear(in_channel * 2, 2, use_bias=False, dtype=dtype, rngs=rngs)
-        self.momentum_bn = nnx.BatchNorm(2, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.momentum_bn = nnx.BatchNorm(2, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
 
     @staticmethod
     def _crossover(cur_dir, nbr_dir):
@@ -114,11 +114,11 @@ class AttentionBlock(nnx.Module):
 
     def __init__(self, F_g, F_l, F_int, *, dtype=None, rngs: nnx.Rngs):
         self.wg_lin = nnx.Linear(F_g, F_int, dtype=dtype, rngs=rngs)
-        self.wg_bn = nnx.BatchNorm(F_int, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.wg_bn = nnx.BatchNorm(F_int, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.wx_lin = nnx.Linear(F_l, F_int, dtype=dtype, rngs=rngs)
-        self.wx_bn = nnx.BatchNorm(F_int, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.wx_bn = nnx.BatchNorm(F_int, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.psi_lin = nnx.Linear(F_int, 1, dtype=dtype, rngs=rngs)
-        self.psi_bn = nnx.BatchNorm(1, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.psi_bn = nnx.BatchNorm(1, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
 
     def __call__(self, g, x):
         g1 = self.wg_bn(self.wg_lin(g))
@@ -136,7 +136,7 @@ class LPFA(nnx.Module):
         self.initial = initial
         if not initial:
             self.xyz2feat_lin = nnx.Linear(9, in_channel, use_bias=False, dtype=dtype, rngs=rngs)
-            self.xyz2feat_bn = nnx.BatchNorm(in_channel, use_running_average=False, dtype=dtype, rngs=rngs)
+            self.xyz2feat_bn = nnx.BatchNorm(in_channel, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         blocks = []
         ci = 9 if initial else in_channel
         if initial:
@@ -217,7 +217,7 @@ class CurveAggregation(nnx.Module):
         self.conva, self.convb, self.convc = mk(in_channel, mid), mk(in_channel, mid), mk(in_channel, mid)
         self.convn, self.convl = mk(mid, mid), mk(mid, mid)
         self.convd_lin = mk(mid * 2, in_channel)
-        self.convd_bn = nnx.BatchNorm(in_channel, use_running_average=False, dtype=dtype, rngs=rngs)
+        self.convd_bn = nnx.BatchNorm(in_channel, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs)
         self.line_conv_att = mk(in_channel, 1)
 
     def __call__(self, x, curves):

@@ -42,7 +42,7 @@ class MLP1d(nnx.Module):
             if norm is None or (last and not norm_last):
                 norms.append(None)
             elif norm == "batch":
-                norms.append(nnx.BatchNorm(dout, use_running_average=False, dtype=dtype, rngs=rngs))
+                norms.append(nnx.BatchNorm(dout, use_running_average=False, momentum=0.9, dtype=dtype, rngs=rngs))
             elif norm == "group":
                 norms.append(nnx.GroupNorm(dout, num_groups=min(8, dout), dtype=dtype, rngs=rngs))
             else:

@@ -53,19 +53,15 @@ def weighted_kabsch(a, b, weights):
     ``assert det > 0`` is guaranteed by construction here (both candidate
     signs are computed and the proper one selected).
     """
+    from learning3d_tpu.utils.svd3 import kabsch_rotation_3x3
+
     w = weights[..., None] / (jnp.sum(weights[..., None], axis=1, keepdims=True) + _EPS)
     centroid_a = jnp.sum(a * w, axis=1)
     centroid_b = jnp.sum(b * w, axis=1)
     a_c = a - centroid_a[:, None, :]
     b_c = b - centroid_b[:, None, :]
     cov = jnp.einsum("bmc,bmd->bcd", a_c, b_c * w).astype(jnp.float32)
-    U, _, Vt = jnp.linalg.svd(cov)
-    V = jnp.swapaxes(Vt, -1, -2)
-    Ut = jnp.swapaxes(U, -1, -2)
-    rot_pos = V @ Ut
-    V_neg = V.at[:, :, 2].multiply(-1.0)
-    rot_neg = V_neg @ Ut
-    rot = jnp.where(jnp.linalg.det(rot_pos)[:, None, None] > 0, rot_pos, rot_neg)
+    rot = kabsch_rotation_3x3(cov)  # proper rotation, reflections resolved
     t = centroid_b - jnp.einsum("bij,bj->bi", rot, centroid_a)
     return jnp.concatenate([rot, t[..., None]], axis=-1)
 

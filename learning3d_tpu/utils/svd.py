@@ -15,22 +15,18 @@ from flax import nnx
 def procrustes_from_correspondence(src, src_corr):
     """Rigid (R, t) aligning src -> src_corr (both (B, N, 3), rows paired).
 
-    Batched Kabsch with reflection fix: R = V diag(1, 1, det(VU^T)) U^T.
+    Batched Kabsch with reflection fix, R = V diag(1, 1, det(VU^T)) U^T —
+    computed by the fixed-sweep Jacobi 3x3 solver (utils.svd3), which
+    avoids the slow-to-compile general QDWH SVD on TPU.
     """
+    from learning3d_tpu.utils.svd3 import kabsch_rotation_3x3
+
     src_centroid = jnp.mean(src, axis=1, keepdims=True)
     corr_centroid = jnp.mean(src_corr, axis=1, keepdims=True)
     src_c = src - src_centroid
     corr_c = src_corr - corr_centroid
-    H = jnp.einsum("bnc,bnd->bcd", src_c, corr_c)  # (B, 3, 3)
-    H = H.astype(jnp.float32)
-    U, _, Vt = jnp.linalg.svd(H)
-    V = jnp.swapaxes(Vt, -1, -2)
-    Ut = jnp.swapaxes(U, -1, -2)
-    det = jnp.linalg.det(V @ Ut)
-    D = jnp.concatenate(
-        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]], -1
-    )
-    R = (V * D[..., None, :]) @ Ut  # V diag(1,1,det) U^T
+    H = jnp.einsum("bnc,bnd->bcd", src_c, corr_c).astype(jnp.float32)  # (B, 3, 3)
+    R = kabsch_rotation_3x3(H)
     t = corr_centroid[:, 0, :] - jnp.einsum("bij,bj->bi", R, src_centroid[:, 0, :])
     return R, t
 
