@@ -34,8 +34,10 @@ _H100_BASELINE = 60_000.0  # clouds/sec
 _FLOPS_PER_CLOUD_PN = 0.302e9  # PointNet(emb 1024) forward, N=1024
 
 
-def _timed_per_iter(fn_many, iters=21, reps=3):
-    """min over reps of (t_iters - t_1) / (iters - 1), host-fetch barrier."""
+def _timed_per_iter(fn_many, iters=51, reps=5):
+    """median over reps of (t_iters - t_1) / (iters - 1), host-fetch
+    barrier. Large iters gap so tunnel-RTT jitter on the t_1 measurement
+    contributes < 2% to the quotient."""
     float(fn_many(1))
     float(fn_many(iters))  # compile both trip counts
 
@@ -47,7 +49,11 @@ def _timed_per_iter(fn_many, iters=21, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (t(iters) - t(1)) / (iters - 1)
+    # min-of-reps: timing noise (tunnel jitter, host scheduling, device
+    # contention) only ever inflates a measurement. Run-to-run variance of
+    # the attached chip is real — treat the result as capability, and rerun
+    # a few times when comparing changes.
+    return max((t(iters) - t(1)) / (iters - 1), 1e-9)
 
 
 def bench_pointnet_cls(batch=256, points=1024, dtype=jnp.bfloat16):
@@ -94,7 +100,7 @@ def bench_dcp(batch=32, points=1024, dtype=jnp.bfloat16):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    per = _timed_per_iter(lambda n: many(n, state, t, s), iters=11)
+    per = _timed_per_iter(lambda n: many(n, state, t, s), iters=21)
     return batch / per
 
 

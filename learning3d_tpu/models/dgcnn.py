@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from learning3d_tpu.ops.geometry import get_graph_feature
+from learning3d_tpu.kernels.edgeconv import get_graph_feature_fused
 
 
 class DGCNN(nnx.Module):
@@ -39,7 +39,7 @@ class DGCNN(nnx.Module):
         if x.shape[-1] != 3:
             raise RuntimeError("expected 3-channel point clouds")
 
-        e = get_graph_feature(x, k=self.k)  # (B, N, k, 6)
+        e = get_graph_feature_fused(x, k=self.k)  # (B, N, k, 6); Pallas on TPU
         stage_outputs = []
         for conv, bn in zip(self.convs[:4], self.bns[:4]):
             e = jax.nn.relu(bn(conv(e)))  # (B, N, k, C)

@@ -174,3 +174,47 @@ class TestOpsParity:
         np.testing.assert_allclose(
             np.asarray(so3.exp(t2j(w))), ref_so3.exp(w).detach().numpy(), atol=1e-5
         )
+
+
+class TestPCNParity:
+    def test_coarse_output_matches(self):
+        tref = ref_models.PCN(emb_dims=128, num_coarse=64, detailed_output=False)
+        tref.eval()
+        mine = models.PCN(emb_dims=128, num_coarse=64, rngs=nnx.Rngs(0))
+        for mc, tc in [(mine.conv1, tref.conv1), (mine.conv2, tref.conv2),
+                       (mine.conv3, tref.conv3), (mine.conv4, tref.conv4)]:
+            copy_conv1d(mc, tc)
+        for ml, tl in [(mine.linear1, tref.linear1), (mine.linear2, tref.linear2),
+                       (mine.linear3, tref.linear3)]:
+            copy_linear(ml, tl)
+        x = rand_cloud(7)
+        ref_out = tref(x)["coarse_output"].detach().numpy()
+        my_out = np.asarray(mine(t2j(x))["coarse_output"])
+        np.testing.assert_allclose(my_out, ref_out, atol=2e-5)
+
+
+class TestiPCRNetParity:
+    def test_forward_matches(self):
+        tpn = ref_models.PointNet(emb_dims=96, use_bn=False)
+        tref = ref_models.iPCRNet(feature_model=tpn)
+        tref.eval()
+        mpn = models.PointNet(emb_dims=96, use_bn=False, rngs=nnx.Rngs(0))
+        mine = models.iPCRNet(mpn, rngs=nnx.Rngs(1))
+        mine.eval()
+        for i in range(5):
+            copy_conv1d(mpn.convs[i], getattr(tpn, f"conv{i+1}"))
+        # reference packs Linears inside an nn.Sequential with interleaved ReLU
+        tlins = [m for m in tref.linear if isinstance(m, torch.nn.Linear)]
+        for ml, tl in zip(list(mine.linears) + [mine.head], tlins):
+            copy_linear(ml, tl)
+        template, source = rand_cloud(8), rand_cloud(9)
+        ref_out = tref(template, source, max_iteration=3)
+        my_out = mine(t2j(template), t2j(source), max_iteration=3)
+        np.testing.assert_allclose(
+            np.asarray(my_out["est_T"]), ref_out["est_T"].detach().numpy(), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out["transformed_source"]),
+            ref_out["transformed_source"].detach().numpy(),
+            atol=1e-4,
+        )

@@ -55,8 +55,27 @@ def check_bench_kernel_speed():
         print(f"{name}: {dt*1e3:.2f} ms/call (incl host fetch) for B={B} N={N} M={M}")
 
 
+def check_edgeconv():
+    from learning3d_tpu.kernels.edgeconv import knn_neighbors_pallas
+    from learning3d_tpu.ops.geometry import index_points, knn
+
+    B, N, K = 4, 1024, 20
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+    nbr_p = np.asarray(jax.jit(lambda x: knn_neighbors_pallas(x, K))(x))
+    nbr_x = np.asarray(index_points(x, knn(x, K)))
+    xx = np.asarray(x)
+    dp = np.sort(((nbr_p - xx[:, :, None]) ** 2).sum(-1), axis=-1)
+    dx = np.sort(((nbr_x - xx[:, :, None]) ** 2).sum(-1), axis=-1)
+    err = np.abs(dp - dx).max()
+    frac = (np.abs(nbr_p - nbr_x).max(-1) > 1e-4).mean()
+    print(f"edgeconv: sorted-dist err={err:.2e} coord mismatch frac={frac:.2e} (f32 ties)")
+    assert err < 1e-3
+    assert frac < 1e-3
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_chamfer()
+    check_edgeconv()
     check_bench_kernel_speed()
     print("all kernel checks passed")
