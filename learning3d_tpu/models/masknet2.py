@@ -49,7 +49,7 @@ class SelfAttn(nnx.Module):
         energy = jnp.einsum("bnc,bmc->bnm", q, q)
         attn = jax.nn.softmax(energy, axis=-1)
         out = jnp.einsum("bnm,bmc->bnc", attn, q)
-        return self.beta.value * out + q
+        return self.beta[...] * out + q
 
 
 class AttnPointNet(nnx.Module):
@@ -93,7 +93,7 @@ class SelfAttentionFC(nnx.Module):
         attn_yx = jax.nn.softmax(jnp.swapaxes(energy, -1, -2), axis=-1)
         out_x = jnp.einsum("bij,bj->bi", attn_xy, qx)
         out_y = jnp.einsum("bij,bj->bi", attn_yx, qy)
-        return self.beta.value * out_x + qx, self.beta.value * out_y + qy
+        return self.beta[...] * out_x + qx, self.beta[...] * out_y + qy
 
 
 class PointNetMask2(nnx.Module):

@@ -57,7 +57,7 @@ class PointNetLK(nnx.Module):
     def _approx_jac(self, template, template_features):
         """J[b, k, i] = (f0 - f(exp(-dt_i e_i) p0))_k / dt_i."""
         B, N, _ = template.shape
-        dt = self.dt.value[0]  # (6,)
+        dt = self.dt[0]  # (6,)
         twists = -jnp.diag(dt)  # (6, 6)
         transf = se3.exp(twists)  # (6, 4, 4), shared across batch
         p = se3.transform(transf[None, :, None, :, :], template[:, None])  # (B,6,N,3)

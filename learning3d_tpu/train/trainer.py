@@ -137,7 +137,10 @@ class Trainer:
     def _epoch(self, dataset, train: bool):
         step_fn = self._train_step if train else self._eval_step
         self.model.train() if train else self.model.eval()
-        tot_loss, tot_aux, count = 0.0, {}, 0
+        # Queue every step asynchronously and fetch once at epoch end —
+        # a per-step float() costs a full host round-trip (tens of ms on
+        # tunneled TPU attachments), which would dominate the step time.
+        losses, auxes, count = [], [], 0
         for batch in batch_iterator(
             dataset, self.cfg.batch_size, shuffle=train, seed=self.cfg.seed + self.epoch
         ):
@@ -147,12 +150,16 @@ class Trainer:
                 loss, aux = step_fn(self.model, self.optimizer, batch, sub)
             else:
                 loss, aux = step_fn(self.model, batch, sub)
-            tot_loss += float(loss)
-            for k, v in aux.items():
-                tot_aux[k] = tot_aux.get(k, 0.0) + float(np.mean(np.asarray(v)))
+            losses.append(loss)
+            auxes.append(aux)
             count += 1
         n = max(count, 1)
-        return tot_loss / n, {k: v / n for k, v in tot_aux.items()}
+        tot_loss = sum(float(l) for l in losses) / n
+        tot_aux = {}
+        for aux in auxes:
+            for k, v in aux.items():
+                tot_aux[k] = tot_aux.get(k, 0.0) + float(np.mean(np.asarray(v))) / n
+        return tot_loss, tot_aux
 
     def fit(self, train_data, test_data=None, epochs=None):
         epochs = epochs or self.cfg.epochs
