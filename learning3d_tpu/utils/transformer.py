@@ -20,6 +20,25 @@ def _attention(q, k, v):
     return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, axis=-1), v)
 
 
+class AnnotatedLayerNorm(nnx.Module):
+    """The Annotated-Transformer LayerNorm the reference uses
+    (utils/transformer.py:109-120): a * (x - mean) / (std + eps) + b with
+    UNBIASED std and eps added to the std (torch's nn.LayerNorm — and
+    nnx.LayerNorm — use biased var and eps inside the sqrt; at d=512 the
+    difference is ~1e-3, enough to break golden parity)."""
+
+    def __init__(self, features, eps=1e-6, *, dtype=None, rngs: nnx.Rngs):
+        self.a = nnx.Param(jnp.ones((features,), dtype or jnp.float32))
+        self.b = nnx.Param(jnp.zeros((features,), dtype or jnp.float32))
+        self.eps = eps
+
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True) * (x.shape[-1] / (x.shape[-1] - 1))
+        std = jnp.sqrt(var)
+        return self.a[...] * (x - mean) / (std + self.eps) + self.b[...]
+
+
 class MultiHeadedAttention(nnx.Module):
     def __init__(self, n_heads, d_model, *, dtype=None, rngs: nnx.Rngs):
         assert d_model % n_heads == 0
@@ -54,8 +73,8 @@ class _EncoderLayer(nnx.Module):
     def __init__(self, d_model, n_heads, d_ff, *, dtype=None, rngs: nnx.Rngs):
         self.self_attn = MultiHeadedAttention(n_heads, d_model, dtype=dtype, rngs=rngs)
         self.ff = FeedForward(d_model, d_ff, dtype=dtype, rngs=rngs)
-        self.norm1 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
-        self.norm2 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm1 = AnnotatedLayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm2 = AnnotatedLayerNorm(d_model, dtype=dtype, rngs=rngs)
 
     def __call__(self, x):
         y = self.norm1(x)
@@ -68,9 +87,9 @@ class _DecoderLayer(nnx.Module):
         self.self_attn = MultiHeadedAttention(n_heads, d_model, dtype=dtype, rngs=rngs)
         self.cross_attn = MultiHeadedAttention(n_heads, d_model, dtype=dtype, rngs=rngs)
         self.ff = FeedForward(d_model, d_ff, dtype=dtype, rngs=rngs)
-        self.norm1 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
-        self.norm2 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
-        self.norm3 = nnx.LayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm1 = AnnotatedLayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm2 = AnnotatedLayerNorm(d_model, dtype=dtype, rngs=rngs)
+        self.norm3 = AnnotatedLayerNorm(d_model, dtype=dtype, rngs=rngs)
 
     def __call__(self, x, memory):
         y = self.norm1(x)
@@ -104,8 +123,8 @@ class Transformer(nnx.Module):
             _DecoderLayer(emb_dims, n_heads, ff_dims, dtype=dtype, rngs=rngs)
             for _ in range(n_blocks)
         ])
-        self.enc_norm = nnx.LayerNorm(emb_dims, dtype=dtype, rngs=rngs)
-        self.dec_norm = nnx.LayerNorm(emb_dims, dtype=dtype, rngs=rngs)
+        self.enc_norm = AnnotatedLayerNorm(emb_dims, dtype=dtype, rngs=rngs)
+        self.dec_norm = AnnotatedLayerNorm(emb_dims, dtype=dtype, rngs=rngs)
 
     def _encode(self, x):
         for layer in self.enc_layers:

@@ -218,3 +218,207 @@ class TestiPCRNetParity:
             ref_out["transformed_source"].detach().numpy(),
             atol=1e-4,
         )
+
+
+class TestPointNetLKParity:
+    def test_iclk_chain_matches(self):
+        """Validates the whole IC-LK chain (finite-difference Jacobian,
+        pinv, exp-compose updates) against the reference. Clouds are
+        pre-zero-meaned: the reference's mean_shift has a latent bug in the
+        source branch (ops/data_utils.py:19) that we fixed, so parity holds
+        on the zero-mean path where the bug is dormant."""
+        tpn = ref_models.PointNet(emb_dims=64, use_bn=False)
+        tref = ref_models.PointNetLK(feature_model=tpn, delta=1e-2, xtol=1e-12)
+        tref.eval()
+        mpn = models.PointNet(emb_dims=64, use_bn=False, rngs=nnx.Rngs(0))
+        mine = models.PointNetLK(mpn, delta=1e-2, xtol=1e-12, damping=0.0)
+        mine.eval()
+        for i in range(5):
+            copy_conv1d(mpn.convs[i], getattr(tpn, f"conv{i+1}"))
+
+        torch.manual_seed(11)
+        template = torch.randn(B, N, 3)
+        template = template - template.mean(1, keepdim=True)
+        # small rigid transform, applied so means stay ~0
+        import jax as _jax
+
+        from learning3d_tpu.ops import se3 as my_se3
+
+        igt = my_se3.exp(0.05 * _jax.random.normal(_jax.random.PRNGKey(3), (B, 6)))
+        source_j = my_se3.transform(igt, t2j(template))
+        source_j = source_j - source_j.mean(1, keepdims=True)
+        source = torch.tensor(np.asarray(source_j))
+
+        ref_out = tref(template, source, maxiter=5)
+        my_out = mine(t2j(template), t2j(source), maxiter=5)
+        np.testing.assert_allclose(
+            np.asarray(my_out["est_T"]), ref_out["est_T"].detach().numpy(), atol=5e-4
+        )
+
+
+class TestDCPParity:
+    def test_full_dcp_matches(self):
+        """Full DCP: DGCNN + co-attention Transformer + SVD head vs the
+        reference with identical weights."""
+        E = 64
+        tdg = ref_models.DGCNN(emb_dims=E)
+        from reference.utils import Transformer as RefTransformer  # noqa
+
+        tref = ref_models.DCP(feature_model=tdg, cycle=False, pointer_="transformer", head="svd")
+        tref.eval()
+        mdg = models.DGCNN(emb_dims=E, rngs=nnx.Rngs(0))
+        mine = models.DCP(mdg, cycle=False, pointer_="transformer", head="svd", rngs=nnx.Rngs(1))
+        mine.eval()
+        # encoder weights
+        for i in range(5):
+            copy_conv2d(mdg.convs[i], getattr(tdg, f"conv{i+1}"))
+            copy_bn(mdg.bns[i], getattr(tdg, f"bn{i+1}"))
+
+        # transformer weights
+        tmodel = tref.pointer.model
+        enc_t = tmodel.encoder.layers[0]
+        enc_m = mine.pointer.enc_layers[0]
+        for w, tl in zip((enc_m.self_attn.wq, enc_m.self_attn.wk, enc_m.self_attn.wv,
+                          enc_m.self_attn.wo), enc_t.self_attn.linears):
+            copy_linear(w, tl)
+        copy_linear(enc_m.ff.w1, enc_t.feed_forward.w_1)
+        copy_linear(enc_m.ff.w2, enc_t.feed_forward.w_2)
+
+        def copy_ln(mln, tln):
+            mln.a.value = t2j(tln.a_2)
+            mln.b.value = t2j(tln.b_2)
+
+        copy_ln(enc_m.norm1, enc_t.sublayer[0].norm)
+        copy_ln(enc_m.norm2, enc_t.sublayer[1].norm)
+        copy_ln(mine.pointer.enc_norm, tmodel.encoder.norm)
+
+        dec_t = tmodel.decoder.layers[0]
+        dec_m = mine.pointer.dec_layers[0]
+        for w, tl in zip((dec_m.self_attn.wq, dec_m.self_attn.wk, dec_m.self_attn.wv,
+                          dec_m.self_attn.wo), dec_t.self_attn.linears):
+            copy_linear(w, tl)
+        for w, tl in zip((dec_m.cross_attn.wq, dec_m.cross_attn.wk, dec_m.cross_attn.wv,
+                          dec_m.cross_attn.wo), dec_t.src_attn.linears):
+            copy_linear(w, tl)
+        copy_linear(dec_m.ff.w1, dec_t.feed_forward.w_1)
+        copy_linear(dec_m.ff.w2, dec_t.feed_forward.w_2)
+        copy_ln(dec_m.norm1, dec_t.sublayer[0].norm)
+        copy_ln(dec_m.norm2, dec_t.sublayer[1].norm)
+        copy_ln(dec_m.norm3, dec_t.sublayer[2].norm)
+        copy_ln(mine.pointer.dec_norm, tmodel.decoder.norm)
+
+        template, source = rand_cloud(12), rand_cloud(13)
+        ref_out = tref(template, source)
+        my_out = mine(t2j(template), t2j(source))
+        np.testing.assert_allclose(
+            np.asarray(my_out["est_R"]), ref_out["est_R"].detach().numpy(), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out["est_t"]), ref_out["est_t"].detach().numpy(), atol=2e-3
+        )
+
+
+def copy_gn(gn, tgn):
+    gn.scale.value = t2j(tgn.weight)
+    gn.bias.value = t2j(tgn.bias)
+
+
+class TestMaskNetParity:
+    def test_mask_matches(self):
+        tpn = ref_models.PointNet(emb_dims=96, use_bn=True)
+        tref = ref_models.MaskNet(feature_model=tpn, is_training=False)
+        tref.eval()
+        mpn = models.PointNet(emb_dims=96, use_bn=True, rngs=nnx.Rngs(0))
+        mine = models.MaskNet(mpn, rngs=nnx.Rngs(1))
+        mine.eval()
+        for i in range(5):
+            copy_conv1d(mpn.convs[i], getattr(tpn, f"conv{i+1}"))
+            copy_bn(mpn.bns[i], getattr(tpn, f"bn{i+1}"))
+        # reference h3 has hardcoded 2048-in first conv; rebuild torch net
+        # with matching emb: template+source feature sizes are 96 each
+        tmask = ref_models.masknet.PointNetMask(
+            template_feature_size=96, source_feature_size=96, feature_model=tpn
+        )
+        tmask.eval()
+        tconvs = [m for m in tmask.h3 if isinstance(m, torch.nn.Conv1d)]
+        for ml, tl in zip(list(mine.maskNet.h3) + [mine.maskNet.out], tconvs):
+            copy_conv1d(ml, tl)
+        template, source = rand_cloud(20), rand_cloud(21)
+        ref_mask = tmask(template, source).detach().numpy()
+        my_mask = np.asarray(mine.maskNet(t2j(template), t2j(source)))
+        np.testing.assert_allclose(my_mask, ref_mask, atol=2e-5)
+
+
+class TestDeepGMRParity:
+    def test_gmm_register_matches(self):
+        from reference.models.deepgmr import gmm_params as ref_gp
+        from reference.models.deepgmr import gmm_register as ref_gr
+
+        from learning3d_tpu.models.deepgmr import gmm_params, gmm_register
+
+        torch.manual_seed(22)
+        gamma_t = torch.softmax(torch.randn(B, N, 8), dim=-1)
+        gamma_s = torch.softmax(torch.randn(B, N, 8), dim=-1)
+        pts_t, pts_s = torch.randn(B, N, 3), torch.randn(B, N, 3)
+        rpi_t, rmu_t, rsig_t = ref_gp(gamma_t, pts_t)
+        rpi_s, rmu_s, rsig_s = ref_gp(gamma_s, pts_s)
+        mpi_t, mmu_t, msig_t = gmm_params(t2j(gamma_t), t2j(pts_t))
+        np.testing.assert_allclose(np.asarray(mpi_t), rpi_t.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mmu_t), rmu_t.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(msig_t), rsig_t.numpy(), atol=1e-5)
+        ref_T = ref_gr(rpi_s, rmu_s, rmu_t, rsig_t).numpy()
+        my_T = np.asarray(
+            gmm_register(t2j(rpi_s), t2j(rmu_s), t2j(rmu_t), t2j(rsig_t))
+        )
+        np.testing.assert_allclose(my_T, ref_T, atol=1e-3)
+
+
+class TestRPMNetParity:
+    def test_sinkhorn_matches(self):
+        from reference.models.rpmnet import sinkhorn as ref_sinkhorn
+
+        from learning3d_tpu.utils.rigid import sinkhorn_log
+
+        torch.manual_seed(23)
+        la = torch.randn(B, 24, 32)
+        for slack in (True, False):
+            ref_out = ref_sinkhorn(la, n_iters=5, slack=slack).numpy()
+            my_out = np.asarray(sinkhorn_log(t2j(la), n_iters=5, slack=slack))
+            np.testing.assert_allclose(my_out, ref_out, atol=1e-5)
+
+    def test_rigid_transform_matches(self):
+        from reference.models.rpmnet import compute_rigid_transform
+
+        from learning3d_tpu.utils.rigid import weighted_kabsch
+
+        torch.manual_seed(24)
+        a, b = torch.randn(B, 32, 3), torch.randn(B, 32, 3)
+        w = torch.rand(B, 32)
+        ref_T = compute_rigid_transform(a, b, w).numpy()
+        my_T = np.asarray(weighted_kabsch(t2j(a), t2j(b), t2j(w)))
+        np.testing.assert_allclose(my_T, ref_T, atol=1e-3)
+
+    def test_ppfnet_features_match(self):
+        from reference.models.ppfnet import PPFNet as RefPPF
+
+        tref = RefPPF(emb_dims=32, radius=0.3, num_neighbors=16)
+        tref.eval()
+        mine = models.PPFNet(emb_dims=32, radius=0.3, num_neighbors=16, rngs=nnx.Rngs(0))
+        mine.eval()
+        tpre = [m for m in tref.prepool if isinstance(m, torch.nn.Conv2d)]
+        tpre_gn = [m for m in tref.prepool if isinstance(m, torch.nn.GroupNorm)]
+        for blk, tc, tg in zip(mine.prepool, tpre, tpre_gn):
+            copy_conv2d(blk.lin, tc)
+            copy_gn(blk.gn, tg)
+        tpost = [m for m in tref.postpool if isinstance(m, torch.nn.Conv1d)]
+        tpost_gn = [m for m in tref.postpool if isinstance(m, torch.nn.GroupNorm)]
+        for blk, tc, tg in zip(mine.postpool, tpost[:2], tpost_gn):
+            copy_conv1d(blk.lin, tc)
+            copy_gn(blk.gn, tg)
+        copy_conv1d(mine.post_final, tpost[2])
+        torch.manual_seed(25)
+        xyz = torch.randn(B, N, 3)
+        normals = torch.nn.functional.normalize(torch.randn(B, N, 3), dim=-1)
+        ref_out = tref(xyz, normals).detach().numpy()
+        my_out = np.asarray(mine(t2j(xyz), t2j(normals)))
+        np.testing.assert_allclose(my_out, ref_out, atol=1e-4)
