@@ -422,3 +422,259 @@ class TestRPMNetParity:
         ref_out = tref(xyz, normals).detach().numpy()
         my_out = np.asarray(mine(t2j(xyz), t2j(normals)))
         np.testing.assert_allclose(my_out, ref_out, atol=1e-4)
+
+
+class TestPointConvParity:
+    def test_classifier_matches(self):
+        """Full PointConv SSG stack: FPS (deterministic start) + kNN
+        grouping + density nets + weighted convolution, vs reference."""
+        from reference.models.pointconv import PointConvDensityClsSsg as RefPC
+        tref = RefPC(
+            emb_dims=128, classifier=True, num_classes=10
+        )
+        tref.eval()
+        mine = models.PointConvDensityClsSsg(
+            emb_dims=128, classifier=True, num_classes=10, rngs=nnx.Rngs(0)
+        )
+        mine.eval()
+
+        def copy_sa(msa, tsa):
+            for blk, tc, tb in zip(msa.mlp_blocks, tsa.mlp_convs, tsa.mlp_bns):
+                copy_conv2d(blk.lin, tc)
+                copy_bn(blk.bn, tb)
+            wn_convs = list(tsa.weightnet.mlp_convs)
+            wn_bns = list(tsa.weightnet.mlp_bns)
+            for blk, tc, tb in zip(msa.weightnet.blocks, wn_convs, wn_bns):
+                copy_conv2d(blk.lin, tc)
+                copy_bn(blk.bn, tb)
+            dn_convs = list(tsa.densitynet.mlp_convs)
+            dn_bns = list(tsa.densitynet.mlp_bns)
+            for blk, tc, tb in zip(msa.densitynet.blocks, dn_convs, dn_bns):
+                copy_conv2d(blk.lin, tc)
+                copy_bn(blk.bn, tb)
+            copy_linear(msa.linear, tsa.linear)
+            copy_bn(msa.bn_linear, tsa.bn_linear)
+
+        copy_sa(mine.sa1, tref.sa1)
+        copy_sa(mine.sa2, tref.sa2)
+        copy_sa(mine.sa3, tref.sa3)
+        for j in (1, 2, 3):
+            copy_linear(getattr(mine, f"fc{j}"), getattr(tref, f"fc{j}"))
+        copy_bn(mine.bn1, tref.bn1)
+        copy_bn(mine.bn2, tref.bn2)
+
+        torch.manual_seed(30)
+        x = torch.randn(2, 1024, 3)
+        ref_out = tref(x).detach().numpy()
+        my_out = np.asarray(mine(t2j(x)))
+        np.testing.assert_allclose(my_out, ref_out, atol=5e-4)
+
+
+class TestCurveNetParity:
+    def test_classifier_matches(self):
+        """Full CurveNet: LPFA lifting, 8 CIC blocks with guided walks and
+        curve aggregation, vs reference. The reference's unsorted top-k
+        start selection is a set — downstream aggregation is
+        permutation-invariant over curves, so outputs match."""
+        from reference.models.curvenet import CurveNet as RefCurveNet
+
+        tref = RefCurveNet(num_classes=10, k=8)
+        tref.eval()
+        mine = models.CurveNet(num_classes=10, k=8, rngs=nnx.Rngs(0))
+        mine.eval()
+
+        def copy_seq_convbn(blk, tseq):
+            convs = [m for m in tseq if isinstance(m, (torch.nn.Conv1d, torch.nn.Conv2d))]
+            bns = [m for m in tseq if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d))]
+            c = convs[0]
+            if isinstance(c, torch.nn.Conv2d):
+                copy_conv2d(blk.lin, c)
+            else:
+                copy_conv1d(blk.lin, c)
+            copy_bn(blk.bn, bns[0])
+
+        def copy_lpfa(mlp, tlp):
+            if not mlp.initial:
+                copy_seq_convbn(
+                    type("S", (), {"lin": mlp.xyz2feat_lin, "bn": mlp.xyz2feat_bn})(),
+                    tlp.xyz2feature,
+                )
+            tblocks = list(tlp.mlp)
+            for mb, tb in zip(mlp.mlp, tblocks):
+                copy_seq_convbn(mb, tb)
+
+        def copy_cic(mc, tc):
+            copy_seq_convbn(mc.conv1, tc.conv1)
+            copy_seq_convbn(mc.conv2, tc.conv2)
+            if mc.shortcut is not None:
+                copy_seq_convbn(mc.shortcut, tc.shortcut)
+            copy_lpfa(mc.lpfa, tc.lpfa)
+            if mc.use_curve:
+                ca, tca = mc.curveaggregation, tc.curveaggregation
+                for name in ("conva", "convb", "convc", "convn", "convl"):
+                    copy_conv1d(getattr(ca, name), getattr(tca, name))
+                copy_conv2d(ca.line_conv_att, tca.line_conv_att)
+                copy_seq_convbn(
+                    type("S", (), {"lin": ca.convd_lin, "bn": ca.convd_bn})(), tca.convd
+                )
+                cg, tcg = mc.curvegrouping, tc.curvegrouping
+                copy_conv1d(cg.att, tcg.att)
+                copy_seq_convbn(
+                    type("S", (), {"lin": cg.walk.agent_lin, "bn": cg.walk.agent_bn})(),
+                    tcg.walk.agent_mlp,
+                )
+                copy_seq_convbn(
+                    type("S", (), {"lin": cg.walk.momentum_lin, "bn": cg.walk.momentum_bn})(),
+                    tcg.walk.momentum_mlp,
+                )
+
+        copy_lpfa(mine.lpfa, tref.lpfa)
+        for name in ("cic11", "cic12", "cic21", "cic22", "cic31", "cic32", "cic41", "cic42"):
+            copy_cic(getattr(mine, name), getattr(tref, name))
+        copy_seq_convbn(
+            type("S", (), {"lin": mine.conv0_lin, "bn": mine.conv0_bn})(), tref.conv0
+        )
+        mine.conv1.kernel.value = t2j(tref.conv1.weight).T
+        copy_bn(mine.bn1, tref.bn1)
+        copy_linear(mine.conv2, tref.conv2)
+
+        torch.manual_seed(31)
+        x = torch.randn(2, 1024, 3)
+        ref_out = tref(x).detach().numpy()
+        my_out = np.asarray(mine(t2j(x)))
+        np.testing.assert_allclose(my_out, ref_out, atol=2e-3)
+
+
+class TestSegmentationParity:
+    def test_logits_match(self):
+        tpn = ref_models.PointNet(emb_dims=96, use_bn=True, global_feat=False)
+        tref = ref_models.Segmentation(feature_model=tpn, num_classes=10)
+        tref.eval()
+        mpn = models.PointNet(emb_dims=96, use_bn=True, global_feat=False, rngs=nnx.Rngs(0))
+        mine = models.Segmentation(mpn, num_classes=10, rngs=nnx.Rngs(1))
+        mine.eval()
+        for i in range(5):
+            copy_conv1d(mpn.convs[i], getattr(tpn, f"conv{i+1}"))
+            copy_bn(mpn.bns[i], getattr(tpn, f"bn{i+1}"))
+        for j in (1, 2, 3, 4):
+            copy_conv1d(getattr(mine, f"conv{j}"), getattr(tref, f"conv{j}"))
+        for j in (1, 2, 3):
+            copy_bn(getattr(mine, f"bn{j}"), getattr(tref, f"bn{j}"))
+        x = rand_cloud(40)
+        np.testing.assert_allclose(
+            np.asarray(mine(t2j(x))), tref(x).detach().numpy(), atol=5e-5
+        )
+
+
+class TestPRNetParity:
+    def test_forward_matches(self):
+        from reference.models.prnet import PRNet as RefPRNet
+
+        E, NK, NS = 64, 24, 32
+        tref = RefPRNet(
+            emb_nn="dgcnn", attention="transformer", head="svd", emb_dims=E,
+            num_keypoints=NK, num_subsampled_points=NS, num_iters=2, input_shape="bnc",
+        )
+        tref.eval()
+        mine = models.PRNet(
+            emb_nn="dgcnn", attention="transformer", head="svd", emb_dims=E,
+            num_keypoints=NK, num_subsampled_points=NS, num_iters=2, rngs=nnx.Rngs(0),
+        )
+        mine.eval()
+        # PRNet-local DGCNN (dynamic graph per stage)
+        for i in range(5):
+            copy_conv2d(mine.emb_nn.convs[i], getattr(tref.emb_nn, f"conv{i+1}"))
+            copy_bn(mine.emb_nn.bns[i], getattr(tref.emb_nn, f"bn{i+1}"))
+        # transformer (same structure as DCP's pointer)
+        tmodel = tref.attention.model
+        enc_t, enc_m = tmodel.encoder.layers[0], mine.attention.enc_layers[0]
+        for w, tl in zip((enc_m.self_attn.wq, enc_m.self_attn.wk, enc_m.self_attn.wv,
+                          enc_m.self_attn.wo), enc_t.self_attn.linears):
+            copy_linear(w, tl)
+        copy_linear(enc_m.ff.w1, enc_t.feed_forward.w_1)
+        copy_linear(enc_m.ff.w2, enc_t.feed_forward.w_2)
+
+        def copy_ln(mln, tln):
+            mln.a.value = t2j(tln.a_2)
+            mln.b.value = t2j(tln.b_2)
+
+        copy_ln(enc_m.norm1, enc_t.sublayer[0].norm)
+        copy_ln(enc_m.norm2, enc_t.sublayer[1].norm)
+        copy_ln(mine.attention.enc_norm, tmodel.encoder.norm)
+        dec_t, dec_m = tmodel.decoder.layers[0], mine.attention.dec_layers[0]
+        for w, tl in zip((dec_m.self_attn.wq, dec_m.self_attn.wk, dec_m.self_attn.wv,
+                          dec_m.self_attn.wo), dec_t.self_attn.linears):
+            copy_linear(w, tl)
+        for w, tl in zip((dec_m.cross_attn.wq, dec_m.cross_attn.wk, dec_m.cross_attn.wv,
+                          dec_m.cross_attn.wo), dec_t.src_attn.linears):
+            copy_linear(w, tl)
+        copy_linear(dec_m.ff.w1, dec_t.feed_forward.w_1)
+        copy_linear(dec_m.ff.w2, dec_t.feed_forward.w_2)
+        copy_ln(dec_m.norm1, dec_t.sublayer[0].norm)
+        copy_ln(dec_m.norm2, dec_t.sublayer[1].norm)
+        copy_ln(dec_m.norm3, dec_t.sublayer[2].norm)
+        copy_ln(mine.attention.dec_norm, tmodel.decoder.norm)
+        # temperature net
+        tlins = [m for m in tref.temp_net.nn if isinstance(m, torch.nn.Linear)]
+        tbns = [m for m in tref.temp_net.nn if isinstance(m, torch.nn.BatchNorm1d)]
+        for ml, tl in zip(list(mine.temp_net.layers) + [mine.temp_net.head], tlins):
+            copy_linear(ml, tl)
+        for mb, tb in zip(mine.temp_net.bns, tbns):
+            copy_bn(mb, tb)
+        mine.head.temperature.value = t2j(tref.head.temperature)
+
+        torch.manual_seed(41)
+        src = torch.randn(B, NS, 3)
+        tgt = torch.randn(B, NS, 3)
+        ref_out = tref(src, tgt)
+        my_out = mine(t2j(src), t2j(tgt))
+        np.testing.assert_allclose(
+            np.asarray(my_out["est_R"]), ref_out["est_R"].detach().numpy(), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out["est_t"]), ref_out["est_t"].detach().numpy(), atol=5e-3
+        )
+
+
+class TestMaskNet2Parity:
+    def test_masks_match(self):
+        from reference.models.masknet2 import PointNetMask as RefMask2
+
+        tref = RefMask2()
+        tref.eval()
+        from learning3d_tpu.models.masknet2 import PointNetMask2
+
+        mine = PointNetMask2(rngs=nnx.Rngs(0))
+        mine.eval()
+
+        def copy_basic(mblk, tblk):
+            copy_conv1d(mblk.conv, tblk.conv) if hasattr(mblk, "conv") else None
+
+        def copy_bc1d(mblk, tblk):
+            # BasicConv1D: conv (bias-free) + bn
+            mblk.conv.kernel.value = t2j(tblk.conv.weight)[..., 0].T
+            copy_bn(mblk.bn, tblk.bn)
+
+        # feature model: 5 SelfAttn stages
+        for i in range(1, 6):
+            msa = getattr(mine.feature_model, f"conv{i}")
+            tsa = getattr(tref.feature_model, f"conv{i}")
+            copy_bc1d(msa.query_conv, tsa.query_conv)
+            msa.beta.value = t2j(tsa.beta)
+        for j in (1, 2, 3):
+            mfc = getattr(mine, f"global_feat_{j}")
+            tfc = getattr(tref, f"global_feat_{j}")
+            copy_bc1d(mfc.query_conv, tfc.query_conv)
+            mfc.beta.value = t2j(tfc.beta)
+        th3 = [m for m in tref.h3]
+        tbasics = [m for m in th3 if m.__class__.__name__ == "BasicConv1D"]
+        tfinal = [m for m in th3 if isinstance(m, torch.nn.Conv1d)]
+        for mb, tb in zip(mine.h3, tbasics):
+            copy_bc1d(mb, tb)
+        copy_conv1d(mine.out, tfinal[0])
+
+        template, source = rand_cloud(50), rand_cloud(51)
+        ref_tm, ref_sm = tref(template, source)
+        my_tm, my_sm = mine(t2j(template), t2j(source))
+        np.testing.assert_allclose(np.asarray(my_tm), ref_tm.detach().numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(my_sm), ref_sm.detach().numpy(), atol=1e-4)
