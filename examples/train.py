@@ -84,7 +84,13 @@ def build_dataset(args, train):
     if args.task in ("classification", "segmentation", "pcn"):
         return ClassificationData(base)
     if args.task == "flow":
-        return SceneflowDataset(npoints=args.num_points, partition="train" if train else "test")
+        ds = SceneflowDataset(npoints=args.num_points, partition="train" if train else "test")
+        if len(ds) == 0:
+            from learning3d_tpu.data import SyntheticSceneflow
+
+            print("[data] Sceneflow npz unavailable; using SyntheticSceneflow")
+            ds = SyntheticSceneflow(npoints=args.num_points)
+        return ds
     algo = {
         "dcp": "DCP", "prnet": "PRNet", "ipcrnet": "iPCRNet",
         "pointnetlk": "PointNetLK", "rpmnet": "RPMNet", "deepgmr": "DeepGMR",

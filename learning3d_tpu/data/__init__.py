@@ -12,6 +12,7 @@ from learning3d_tpu.data.dataloaders import (  # noqa: F401
     SceneflowDataset,
     SegmentationData,
     SyntheticModelNet40,
+    SyntheticSceneflow,
     deg_to_rad,
     download_modelnet40,
 )

@@ -388,6 +388,39 @@ class FlowData:
         raise NotImplementedError("use SceneflowDataset or UserData")
 
 
+class SyntheticSceneflow:
+    """Procedural scene-flow pairs for offline smoke/bench runs: frame1 is
+    a synthetic cloud, frame2 = rigid motion + per-cluster displacement,
+    flow is the exact displacement field. Item contract matches
+    SceneflowDataset: (pos1, pos2, color1, color2, flow, mask1)."""
+
+    def __init__(self, npoints=1024, size=256, seed=0):
+        self.npoints = npoints
+        self.size = size
+        self.seed = seed
+        self.base = SyntheticModelNet40(num_points=npoints, size=size, seed=seed)
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 7_654_321 + idx)
+        pos1, _ = self.base[idx]
+        # small rigid motion + smooth non-rigid component
+        w = 0.1 * rng.standard_normal(3)
+        t = 0.1 * rng.standard_normal(3)
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.from_rotvec(w).as_matrix().astype(np.float32)
+        warp = 0.05 * np.sin(pos1 @ rng.standard_normal((3, 3)).astype(np.float32))
+        pos2 = pos1 @ R.T + t.astype(np.float32) + warp
+        flow = (pos2 - pos1).astype(np.float32)
+        color1 = np.zeros_like(pos1)
+        color2 = np.zeros_like(pos2)
+        mask1 = np.ones(self.npoints, np.float32)
+        return pos1, pos2.astype(np.float32), color1, color2, flow, mask1
+
+
 class SceneflowDataset:
     """FlyingThings3D-processed npz loader (reference dataloaders.py:364-435)."""
 
