@@ -75,15 +75,16 @@ class PointNetSetAbstraction(nnx.Module):
 class FlowEmbedding(nnx.Module):
     """Cross-cloud kNN correlation (reference flownet3d.py:125-180)."""
 
-    def __init__(self, radius, nsample, in_channel, mlp, *, dtype=None, rngs: nnx.Rngs):
+    def __init__(self, radius, nsample, in_channel, mlp, approx_knn=False, *, dtype=None, rngs: nnx.Rngs):
         self.nsample = nsample
+        self.approx_knn = approx_knn
         dims = [in_channel * 2 + 3, *mlp]
         self.blocks = nnx.List([
             _ConvBN2d(i, o, dtype=dtype, rngs=rngs) for i, o in zip(dims[:-1], dims[1:])
         ])
 
     def __call__(self, pos1, pos2, feat1, feat2):
-        _, idx = knn_point(self.nsample, pos2, pos1)  # neighbors of pos1 in pos2
+        _, idx = knn_point(self.nsample, pos2, pos1, approx=self.approx_knn)
         pos2_grouped = index_points(pos2, idx)  # (B, N, S, 3)
         pos_diff = pos2_grouped - pos1[:, :, None, :]
         feat2_grouped = index_points(feat2, idx)  # (B, N, S, C)

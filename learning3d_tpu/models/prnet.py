@@ -62,9 +62,10 @@ class PRDGCNN(nnx.Module):
     """PRNet's dynamic-graph DGCNN: graph features recomputed per stage,
     LeakyReLU(0.2) (reference prnet.py:62-97)."""
 
-    def __init__(self, emb_dims=512, k=20, *, dtype=None, rngs: nnx.Rngs):
+    def __init__(self, emb_dims=512, k=20, approx_knn=False, *, dtype=None, rngs: nnx.Rngs):
         self.emb_dims = emb_dims
         self.k = k
+        self.approx_knn = approx_knn
         dims = [(6, 64), (128, 64), (128, 128), (256, 256), (512, emb_dims)]
         self.convs = nnx.List([
             nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs) for i, o in dims
@@ -78,7 +79,7 @@ class PRDGCNN(nnx.Module):
         stage_outputs = []
         h = x
         for conv, bn in zip(self.convs[:4], self.bns[:4]):
-            e = get_graph_feature(h, k=self.k)  # (B, N, k, 2C)
+            e = get_graph_feature(h, k=self.k, approx=self.approx_knn)
             e = _lrelu(bn(conv(e)))
             h = jnp.max(e, axis=2)  # (B, N, C)
             stage_outputs.append(h)
@@ -173,6 +174,7 @@ class PRNet(nnx.Module):
         feature_alignment_loss: float = 0.1,
         discount_factor: float = 0.9,
         input_shape: str = "bnc",
+        approx_knn: bool = False,
         *,
         dtype=None,
         rngs: nnx.Rngs,
@@ -188,7 +190,7 @@ class PRNet(nnx.Module):
         if emb_nn == "pointnet":
             self.emb_nn = PRPointNet(emb_dims, dtype=dtype, rngs=rngs)
         elif emb_nn == "dgcnn":
-            self.emb_nn = PRDGCNN(emb_dims, dtype=dtype, rngs=rngs)
+            self.emb_nn = PRDGCNN(emb_dims, approx_knn=approx_knn, dtype=dtype, rngs=rngs)
         else:
             raise ValueError(emb_nn)
 
