@@ -130,7 +130,10 @@ def query_ball_point(radius, nsample, xyz, new_xyz, get_cnt=False):
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
     arange = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, S, N))
     group_idx = jnp.where(sqrdists > radius * radius, N, arange)
-    group_sorted = jnp.sort(group_idx, axis=-1)[..., :nsample]
+    # smallest nsample indices == reference's sort[:, :nsample], but top_k
+    # avoids the full N-wide sort (cheaper on TPU)
+    neg_topk, _ = jax.lax.top_k(-group_idx, nsample)
+    group_sorted = -neg_topk  # ascending
     first = group_sorted[..., :1]
     out = jnp.where(group_sorted == N, first, group_sorted)
     if get_cnt:

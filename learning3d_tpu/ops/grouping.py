@@ -31,7 +31,8 @@ def query_ball_point_excluding_self(radius, nsample, xyz, new_xyz, itself_indice
     arange = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, S, N))
     is_self = arange == itself_indices[..., None]
     group_idx = jnp.where((sqrdists > radius * radius) | is_self, N, arange)
-    group_sorted = jnp.sort(group_idx, axis=-1)[..., :nsample]
+    neg_topk, _ = jax.lax.top_k(-group_idx, nsample)  # smallest nsample indices
+    group_sorted = -neg_topk
     pad = jnp.broadcast_to(itself_indices[..., None], group_sorted.shape)
     return jnp.where(group_sorted == N, pad, group_sorted)
 
