@@ -86,15 +86,21 @@ def farthest_point_sample(xyz, npoint, key=None):
     ``key=None`` starts at point 0 (the reference's
     ``start_with_first_point=True`` / pointconv convention); otherwise the
     start index is uniform-random per batch item (the default torch
-    fallback, model_common_utils.py:58-82). A lax.scan of vectorized
-    distance updates — each step is one (B, N) VPU pass, no python loops
-    at runtime.
+    fallback, model_common_utils.py:58-82). On TPU this dispatches to the
+    batched Pallas kernel (kernels/sampling.py — the lax.scan path pays
+    ~10 ms of per-step overhead at npoint=1024); the scan path is the CPU/
+    fallback oracle.
     """
     B, N, _ = xyz.shape
     if key is None:
         start = jnp.zeros((B,), dtype=jnp.int32)
     else:
         start = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    if jax.default_backend() == "tpu" and npoint <= 1024:
+        from learning3d_tpu.kernels.sampling import fps_pallas
+
+        return fps_pallas(xyz, npoint, start=start)
 
     def step(carry, _):
         dist, farthest = carry
@@ -127,6 +133,10 @@ def query_ball_point(radius, nsample, xyz, new_xyz, get_cnt=False):
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
+    if not get_cnt and nsample <= 128 and jax.default_backend() == "tpu":
+        from learning3d_tpu.kernels.sampling import ball_query_pallas
+
+        return ball_query_pallas(radius, nsample, xyz, new_xyz)
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
     arange = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, S, N))
     group_idx = jnp.where(sqrdists > radius * radius, N, arange)
