@@ -73,15 +73,6 @@ def check_edgeconv():
     assert frac < 1e-3
 
 
-if __name__ == "__main__":
-    print("backend:", jax.default_backend())
-    check_chamfer()
-    check_edgeconv()
-    check_sampling()
-    check_bench_kernel_speed()
-    print("all kernel checks passed")
-
-
 def check_sampling():
     from learning3d_tpu.kernels.sampling import ball_query_pallas, fps_pallas
     from learning3d_tpu.ops import geometry
@@ -124,3 +115,12 @@ def check_sampling():
                 if len(inball) < ns:
                     assert np.all(got[len(inball):] == inball[0])
     print("sampling: ball query semantics exact")
+
+
+if __name__ == "__main__":
+    print("backend:", jax.default_backend())
+    check_chamfer()
+    check_edgeconv()
+    check_sampling()
+    check_bench_kernel_speed()
+    print("all kernel checks passed")
