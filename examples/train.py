@@ -100,9 +100,11 @@ def build_dataset(args, train):
     if args.task == "deepgmr":
         extra["nearest_neighbors"] = args.nearest_neighbors
     if args.task == "masknet":
+        # reference train_masknet.py:157: partial SOURCE; the gt mask marks
+        # which template-ordered points survive in the partial source
         extra["use_masknet"] = True
         return RegistrationData(
-            algorithm=algo, data_class=base, partial_template=True,
+            algorithm=algo, data_class=base, partial_source=True,
             noise=args.noise, additional_params=extra,
         )
     return RegistrationData(

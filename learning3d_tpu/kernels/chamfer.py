@@ -122,6 +122,11 @@ def nn_distance(x, y, use_pallas=None):
     f = _nn_oneway_pallas if use_pallas else _nn_oneway_xla
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
+    if use_pallas:
+        # Layout fence: without it, XLA may propagate an exotic layout from
+        # an upstream producer (e.g. a model decoder) into the pallas
+        # custom-call operands and CHECK-crash the TPU compiler.
+        x, y = jax.lax.optimization_barrier((x, y))
     d1, i1 = f(x, y)
     d2, i2 = f(y, x)
     return d1, i1, d2, i2

@@ -55,6 +55,10 @@ class PCN(nnx.Module):
 
     def _encode(self, x):
         h = self.conv2(jax.nn.relu(self.conv1(x)))  # (B, N, 256)
+        # Fusion fence: XLA's TPU fusion pass CHECK-crashes when it fuses
+        # this max-pool + broadcast-concat with the surrounding matmuls
+        # (fusion_util.cc TransformWindow) at some (B, N) shapes.
+        h = jax.lax.optimization_barrier(h)
         g = self.pooling(h)  # (B, 256)
         g = jnp.broadcast_to(g[:, None, :], h.shape)
         h = jnp.concatenate([h, g], axis=-1)  # (B, N, 512)
