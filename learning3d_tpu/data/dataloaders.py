@@ -76,8 +76,12 @@ class ModelNet40Data:
         root_dir: str | None = None,
         randomize_data: bool = False,
         use_normals: bool = False,
+        unseen: bool = False,
         rng: np.random.Generator | None = None,
     ):
+        # unseen: category split for generalization experiments — first 20
+        # classes for training, last 20 for testing (the reference's
+        # --unseen flag, e.g. train_masknet.py).
         import glob
 
         import h5py
@@ -100,6 +104,10 @@ class ModelNet40Data:
         if use_normals:
             self.data = np.concatenate([self.data, np.concatenate(normals, 0)], -1)
         self.labels = np.concatenate(labels, 0).reshape(-1)
+        if unseen:
+            keep = self.labels < 20 if train else self.labels >= 20
+            self.data = self.data[keep]
+            self.labels = self.labels[keep]
         self.num_points = num_points
         self.randomize_data = randomize_data
         self.rng = rng or np.random.default_rng(0)
@@ -125,12 +133,15 @@ class SyntheticModelNet40:
     class-dependent shape statistics — learnable, deterministic per index,
     same item contract as ModelNet40Data."""
 
-    def __init__(self, train=True, num_points=1024, size=2048, num_classes=40, seed=0):
+    def __init__(self, train=True, num_points=1024, size=2048, num_classes=40, seed=0, unseen=False):
         self.num_points = num_points
         self.size = size
         self.num_classes = num_classes
         self.seed = seed + (0 if train else 1_000_003)
         self.shapes = SHAPE_NAMES[:num_classes]
+        # unseen split: restrict the label range like the reference's flag
+        self.label_offset = 0 if (not unseen or train) else num_classes // 2
+        self.label_range = num_classes // 2 if unseen else num_classes
 
     def __len__(self):
         return self.size
@@ -168,7 +179,7 @@ class SyntheticModelNet40:
         return pts
 
     def __getitem__(self, idx):
-        label = idx % self.num_classes
+        label = idx % self.label_range + self.label_offset
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         return self._make(rng, label), int(label)
 

@@ -1,0 +1,89 @@
+"""Metrics, approx-kNN option, unseen split, visualization smoke."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from learning3d_tpu.ops import se3
+from learning3d_tpu.train import metrics
+
+
+class TestMetrics:
+    def test_rotation_error(self):
+        from learning3d_tpu.ops import so3
+
+        w = jnp.asarray([[0.5, 0.0, 0.0], [0.0, 0.0, 0.0]])
+        R = so3.exp(w)
+        eye = jnp.broadcast_to(jnp.eye(3), R.shape)
+        err = np.asarray(metrics.rotation_error_deg(R, eye))
+        np.testing.assert_allclose(err, [np.degrees(0.5), 0.0], atol=1e-3)
+
+    def test_registration_errors_zero_for_exact(self):
+        g = se3.exp(0.4 * jax.random.normal(jax.random.PRNGKey(0), (4, 6)))
+        est = se3.inverse(g)  # exact estimate of igt^{-1}
+        out = metrics.registration_errors(est, g)
+        assert float(jnp.max(out["rot_deg"])) < 0.1
+        assert float(jnp.max(out["trans"])) < 1e-3
+
+    def test_mask_scores_perfect(self):
+        m = jnp.asarray([[0.9, 0.1, 0.8, 0.2]])
+        g = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])
+        s = metrics.mask_scores(m, g)
+        for k in ("accuracy", "precision", "recall", "f1"):
+            np.testing.assert_allclose(float(s[k]), 1.0)
+
+    def test_point_rmse(self):
+        a = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3))
+        np.testing.assert_allclose(np.asarray(metrics.point_rmse(a, a)), 0.0, atol=1e-6)
+
+
+class TestApproxKNN:
+    def test_high_recall(self):
+        from learning3d_tpu.ops.geometry import knn
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 256, 3))
+        exact = np.asarray(knn(x, 8))
+        approx = np.asarray(knn(x, 8, approx=True))
+        recall = np.mean(
+            [
+                len(set(a) & set(e)) / 8
+                for ea, aa in zip(exact.reshape(-1, 8), approx.reshape(-1, 8))
+                for e, a in [(ea.tolist(), aa.tolist())]
+            ]
+        )
+        assert recall > 0.9, recall
+
+
+class TestUnseenSplit:
+    def test_synthetic_unseen(self):
+        from learning3d_tpu.data import SyntheticModelNet40
+
+        tr = SyntheticModelNet40(train=True, num_points=16, size=40, unseen=True)
+        te = SyntheticModelNet40(train=False, num_points=16, size=40, unseen=True)
+        tr_labels = {tr[i][1] for i in range(40)}
+        te_labels = {te[i][1] for i in range(40)}
+        assert max(tr_labels) < 20
+        assert min(te_labels) >= 20
+
+
+class TestVisualization:
+    def test_matplotlib_save(self, tmp_path):
+        from learning3d_tpu.utils.visualization import display_clouds
+
+        a = np.random.randn(64, 3)
+        b = np.random.randn(64, 3)
+        out = tmp_path / "clouds.png"
+        display_clouds(a, b, labels=["a", "b"], save_path=str(out))
+        assert out.exists() and out.stat().st_size > 0
+
+
+class TestProfiling:
+    def test_throughput_meter(self):
+        from learning3d_tpu.utils.profiling import ThroughputMeter
+
+        m = ThroughputMeter()
+        m.update(32)
+        m.update(32)
+        assert m.clouds_per_sec > 0
+        assert m.ms_per_step > 0
