@@ -97,7 +97,11 @@ def pcn(model, batch, key):
 
 def masknet(model, batch, key, loss_fn="mse"):
     """MSE or BCE between predicted and gt inlier masks
-    (reference examples/train_masknet.py:62-65)."""
+    (reference examples/train_masknet.py:62-65); aux carries the
+    accuracy/precision/recall/F1 the reference's test script reports
+    (test_masknet.py:45-77)."""
+    from learning3d_tpu.train.metrics import mask_scores
+
     template, source, igt, gt_mask = batch
     _, mask = model(template, source)
     if loss_fn == "bce":
@@ -106,7 +110,7 @@ def masknet(model, batch, key, loss_fn="mse"):
         loss = -jnp.mean(gt_mask * jnp.log(m) + (1 - gt_mask) * jnp.log(1 - m))
     else:
         loss = jnp.mean((mask - gt_mask) ** 2)
-    return loss, {}
+    return loss, mask_scores(mask, gt_mask)
 
 
 def flownet(model, batch, key):

@@ -15,3 +15,16 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8
+
+collect_ignore_glob = []
+
+
+def pytest_configure(config):
+    import warnings
+
+    # flax Variable `.value` deprecation fires on every weight-copy write in
+    # the parity tests; torch emits size_average deprecations from the
+    # reference package. Both are intentional usages.
+    warnings.filterwarnings("ignore", message=".*'.value' access.*")
+    warnings.filterwarnings("ignore", message=".*size_average.*")
+    warnings.filterwarnings("ignore", message=".*reduce.*deprecated.*")
