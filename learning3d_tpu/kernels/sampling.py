@@ -99,6 +99,143 @@ def fps_pallas(xyz, npoint, start=None, batch_tile=8):
     return out[:B, :npoint]
 
 
+def _ball_group_kernel(
+    q_ref, p_ref, it_ref, v_ref, out_ref, *, radius2, nsample, n_valid, n_chan
+):
+    """Ball query (self-excluding, center-padded) fused with a one-hot MXU
+    gather of per-point values — the (S, N) distance matrix and the gather
+    indices never leave VMEM."""
+    qt = q_ref[0]  # (3, TS)
+    pt = p_ref[0]  # (3, N)
+    itself = it_ref[0, 0]  # (TS,) int32
+    d0 = qt[0][:, None] - pt[0][None, :]
+    d1 = qt[1][:, None] - pt[1][None, :]
+    d2 = qt[2][:, None] - pt[2][None, :]
+    d = d0 * d0 + d1 * d1 + d2 * d2  # (TS, N)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    iscenter = col == itself[:, None]
+    mask = (d <= radius2) & (col < n_valid) & ~iscenter  # in-ball, not self
+
+    # Rank of each in-ball column = number of in-ball columns with smaller
+    # index, via one MXU pass against a strict lower-triangular ones
+    # matrix (0/1 operands are bf16-exact; f32 accumulation keeps the
+    # counts exact). Selecting by ascending *index* (the reference's sort
+    # semantics) then needs no sequential min/mask chain at all: round j's
+    # one-hot is just (rank == j).
+    n = d.shape[1]
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.bfloat16)
+    mask_b = mask.astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(
+        mask_b, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TS, N) float counts, exact
+    rank_key = jnp.where(mask, rank, -1.0)
+    count = jnp.sum(mask_b.astype(jnp.float32), axis=1, keepdims=True)  # (TS, 1)
+
+    vals_t = jnp.transpose(v_ref[0])  # (N, C)
+    # bf16x2 split: one-hot rows are exactly representable, only the value
+    # operand needs hi+lo passes (~1e-5 relative; same trick as edgeconv).
+    # Operands are cast to bf16 explicitly — f32 MXU inputs cost multiple
+    # passes, and every operand here is bf16-exact (0/1 or already split).
+    hi = vals_t.astype(jnp.bfloat16)
+    lo = (vals_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    ts = d.shape[0]
+    ns_c = nsample * n_chan
+    # rolled loop (unrolling keeps nsample one-hot buffers live -> VMEM
+    # OOM); round j's (TS, C) gather lands in lanes [C*j, C*(j+1)) via a
+    # one-hot placement matmul (exact: entries are 0/1, one per column)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n_chan, ns_c), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n_chan, ns_c), 1)
+    rowmask = coli % n_chan == rowi
+    slot = coli // n_chan
+
+    def body(j, acc):
+        jf = j.astype(jnp.float32)
+        # pad short neighborhoods with the center point's values
+        onehot = ((rank_key == jf) | (iscenter & (count <= jf))).astype(jnp.bfloat16)
+        # hi and lo must stay separate through the placement matmul too:
+        # the MXU rounds its inputs to bf16, and a one-hot gather of a
+        # bf16 value is exactly representable while their f32 sum is not.
+        ghi = jax.lax.dot_general(
+            onehot, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TS, C)
+        glo = jax.lax.dot_general(
+            onehot, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        place = (rowmask & (slot == j)).astype(jnp.bfloat16)  # (C, ns_c)
+        return acc + jax.lax.dot_general(
+            ghi.astype(jnp.bfloat16), place,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            glo.astype(jnp.bfloat16), place,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, nsample, body, jnp.zeros((ts, ns_c), jnp.float32)
+    )
+    out_ref[0] = acc
+
+
+def ball_group_pallas(radius, nsample, xyz, new_xyz, itself_idx, values, tile_s=256):
+    """Fused PPFNet-style grouping: for each query in ``new_xyz`` select up
+    to ``nsample`` in-ball neighbors of ``xyz`` (ascending index order, the
+    query point itself excluded, short neighborhoods padded with the
+    center, reference ppfnet_util.py:96-131) and gather ``values``
+    (B, N, C) at them. Returns (B, S, nsample, C) float32.
+
+    Inputs are geometry (no parameter dependence), so no VJP is defined —
+    callers only differentiate downstream of the gathered values.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    C = values.shape[2]
+    Np = _round_up(N, 128)
+    Sp = _round_up(S, tile_s)
+    if nsample * C % 128:
+        raise ValueError("nsample * C must be a multiple of 128")
+    pt = jnp.swapaxes(xyz, 1, 2).astype(jnp.float32)
+    qt = jnp.swapaxes(new_xyz, 1, 2).astype(jnp.float32)
+    vt = jnp.swapaxes(values, 1, 2).astype(jnp.float32)  # (B, C, N)
+    it = itself_idx.astype(jnp.int32)
+    if Np != N:
+        pt = jnp.pad(pt, ((0, 0), (0, 0), (0, Np - N)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Np - N)))
+    if Sp != S:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Sp - S)))
+        it = jnp.pad(it, ((0, 0), (0, Sp - S)))
+    it = it[:, None, :]  # (B, 1, Sp): keeps the block's trailing dims tileable
+    out = pl.pallas_call(
+        functools.partial(
+            _ball_group_kernel,
+            radius2=float(radius) ** 2,
+            nsample=nsample,
+            n_valid=N,
+            n_chan=C,
+        ),
+        grid=(B, Sp // tile_s),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_s), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Np), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_s), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, Np), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_s, nsample * C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, nsample * C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Sp * Np * (3 + nsample * C),
+            bytes_accessed=4 * B * (Np * (3 + C) + Sp * (3 + nsample * C)),
+            transcendentals=0,
+        ),
+    )(qt, pt, it, vt)
+    return out[:, :S, :].reshape(B, S, nsample, C)
+
+
 def _ballq_kernel(q_ref, p_ref, out_ref, *, radius2, nsample, n_valid):
     qt = q_ref[0]  # (3, TS)
     pt = p_ref[0]  # (3, N)

@@ -117,10 +117,35 @@ def check_sampling():
     print("sampling: ball query semantics exact")
 
 
+def check_ball_group():
+    from learning3d_tpu.kernels.sampling import ball_group_pallas
+    from learning3d_tpu.ops.geometry import index_points
+    from learning3d_tpu.ops.grouping import query_ball_point_excluding_self
+
+    B, N, ns = 4, 1000, 64  # non-128-multiple N exercises padding
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    xyz = jax.random.normal(k1, (B, N, 3))
+    nrm = jax.random.normal(k2, (B, N, 3))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    itself = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    vals = jnp.concatenate([xyz, nrm], -1)
+    got = np.asarray(jax.jit(
+        lambda x, v: ball_group_pallas(0.3, ns, x, x, itself, v)
+    )(xyz, vals))
+    idx = query_ball_point_excluding_self(0.3, ns, xyz, xyz, itself)
+    want = np.asarray(index_points(vals, idx))
+    # matmul-expansion vs exact-diff f32 rounding can flip in-ball
+    # membership for points within ~1e-6 of the radius: compare per-slot
+    frac = (np.abs(got - want).max(-1) > 1e-4).mean()
+    print(f"ball_group: slot mismatch frac = {frac:.2e} (radius-boundary ties)")
+    assert frac < 1e-3, frac
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_chamfer()
     check_edgeconv()
     check_sampling()
+    check_ball_group()
     check_bench_kernel_speed()
     print("all kernel checks passed")
