@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from learning3d_tpu.ops.geometry import knn
 from learning3d_tpu.utils.curvenet_blocks import CIC, LPFA
 
 curve_config = {
@@ -64,15 +65,19 @@ class CurveNet(nnx.Module):
         """xyz (B, N, 3) -> logits (B, num_classes)."""
         if self.input_shape == "bcn":
             xyz = jnp.swapaxes(xyz, 1, 2)
-        l0 = self.lpfa(xyz, xyz)
-        x1, p1 = self.cic11(xyz, l0)
-        x1, p1 = self.cic12(x1, p1)
-        x2, p2 = self.cic21(x1, p1)
-        x2, p2 = self.cic22(x2, p2)
-        x3, p3 = self.cic31(x2, p2)
-        x3, p3 = self.cic32(x3, p3)
-        x4, p4 = self.cic41(x3, p3)
-        x4, p4 = self.cic42(x4, p4)
+        # one self-inclusive kNN per resolution, shared by the LPFA lifting
+        # and every same-resolution CIC block (identical indices to the
+        # reference's per-block recomputation; see CIC.__call__)
+        idx0 = knn(xyz, self.lpfa.k + 1)
+        l0 = self.lpfa(xyz, xyz, idx=idx0[..., : self.lpfa.k])
+        x1, p1, i1 = self.cic11(xyz, l0, idx=idx0)
+        x1, p1, i1 = self.cic12(x1, p1, idx=i1)
+        x2, p2, i2 = self.cic21(x1, p1, idx=i1)
+        x2, p2, i2 = self.cic22(x2, p2, idx=i2)
+        x3, p3, i3 = self.cic31(x2, p2)
+        x3, p3, i3 = self.cic32(x3, p3, idx=i3)
+        x4, p4, i4 = self.cic41(x3, p3)
+        x4, p4, i4 = self.cic42(x4, p4, idx=i4)
 
         h = jax.nn.relu(self.conv0_bn(self.conv0_lin(p4)))  # (B, 64, 1024)
         h = jnp.concatenate([jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)

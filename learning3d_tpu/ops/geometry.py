@@ -59,22 +59,44 @@ def _select_k_smallest(d, k, approx):
     return -neg, idx
 
 
+def _use_knn_pallas(points, k, approx):
+    # the VMEM-tiled kernel wins only where the (S, N) matrix + top_k
+    # hurt; at small N the XLA path is already sub-ms and fuses better
+    return (
+        not approx
+        and points.shape[-1] == 3
+        and k <= 64
+        and points.shape[-2] >= 512
+        and jax.default_backend() == "tpu"
+    )
+
+
 def knn(points, k, include_self=True, approx=False):
     """Self kNN indices (B, N, k), nearest first (reference
     model_common_utils.py:3-9 matmul-trick knn). ``include_self=False``
-    drops the query point itself (k+1 search, first column removed)."""
-    d = square_distance(points, points)
-    if include_self:
-        _, idx = _select_k_smallest(d, k, approx)
-        return idx
-    _, idx = _select_k_smallest(d, k + 1, approx)
-    return idx[..., 1:]
+    drops the query point itself (k+1 search, first column removed).
+    Coordinate inputs on TPU dispatch to the fused Pallas kernel (the
+    top_k over the (N, N) matrix costs ~19 ms at B=32, N=1024)."""
+    kk = k if include_self else k + 1
+    if _use_knn_pallas(points, kk, approx):
+        from learning3d_tpu.kernels.knn import knn_pallas
+
+        _, idx = knn_pallas(points, points, kk)
+    else:
+        d = square_distance(points, points)
+        _, idx = _select_k_smallest(d, kk, approx)
+    return idx if include_self else idx[..., 1:]
 
 
 def knn_point(k, pos1, pos2, approx=False):
     """For each query in pos2 (B, M, C) the k nearest points of pos1
     (B, N, C). Returns (dist (B, M, k) L2 — not squared — and idx), nearest
     first (reference model_common_utils.py:84-100)."""
+    if _use_knn_pallas(pos1, k, approx):
+        from learning3d_tpu.kernels.knn import knn_pallas
+
+        sq, idx = knn_pallas(pos2, pos1, k)
+        return jnp.sqrt(jnp.maximum(sq, 0.0)), idx
     d = square_distance(pos2, pos1)
     val, idx = _select_k_smallest(d, k, approx)
     return jnp.sqrt(jnp.maximum(val, 0.0)), idx

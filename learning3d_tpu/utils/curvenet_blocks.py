@@ -297,13 +297,21 @@ class CIC(nnx.Module):
         self.maxpool = MaskedMaxPool(npoint, radius, k)
         self.lpfa = LPFA(planes, planes, k, mlp_num=mlp_num, initial=False, dtype=dtype, rngs=rngs)
 
-    def __call__(self, xyz, x):
-        """xyz (B, N, 3), x (B, N, C) -> (new_xyz, new_x)."""
+    def __call__(self, xyz, x, idx=None):
+        """xyz (B, N, 3), x (B, N, C) -> (new_xyz, new_x, idx).
+
+        ``idx`` is the (B, N, k+1) self-inclusive kNN of ``xyz``; passing
+        it lets consecutive same-resolution blocks share one kNN (the
+        reference recomputes it per block and leans on eager caching; the
+        Pallas kNN is a custom call that XLA cannot CSE, so the reuse is
+        explicit here — returned alongside the features)."""
         if xyz.shape[1] != self.npoint:
             xyz, x = self.maxpool(xyz, x)
+            idx = None  # resolution changed
         shortcut = x
         x = self.conv1(x)
-        idx = knn(xyz, self.k + 1)  # includes self at position 0
+        if idx is None:
+            idx = knn(xyz, self.k + 1)  # includes self at position 0
         if self.use_curve:
             curves = self.curvegrouping(x, xyz, idx[..., 1:])  # no self-loop
             x = self.curveaggregation(x, curves)
@@ -311,4 +319,4 @@ class CIC(nnx.Module):
         x = self.conv2(x)
         if self.shortcut is not None:
             shortcut = self.shortcut(shortcut)
-        return xyz, jax.nn.leaky_relu(x + shortcut, 0.2)
+        return xyz, jax.nn.leaky_relu(x + shortcut, 0.2), idx

@@ -117,6 +117,25 @@ def check_sampling():
     print("sampling: ball query semantics exact")
 
 
+def check_knn():
+    from learning3d_tpu.kernels.knn import knn_pallas
+    from learning3d_tpu.ops.geometry import square_distance
+
+    for (B, S, N, k) in [(4, 1024, 1024, 21), (2, 256, 1000, 16), (2, 64, 64, 20)]:
+        kq, kp = jax.random.split(jax.random.PRNGKey(B * N + k))
+        q = jax.random.normal(kq, (B, S, 3))
+        p = jax.random.normal(kp, (B, N, 3))
+        sq, idx = jax.jit(lambda q, p: knn_pallas(q, p, k))(q, p)
+        d = square_distance(q, p)
+        neg, idx_x = jax.lax.top_k(-d, k)
+        sq, idx, dx, idx_x = map(np.asarray, (sq, idx, -neg, idx_x))
+        derr = np.abs(sq - dx).max()
+        imatch = (idx == idx_x).mean()
+        print(f"knn pallas B={B} S={S} N={N} k={k}: max|d-d_ref|={derr:.2e} idx match={imatch:.4f}")
+        assert derr < 1e-3, derr
+        assert imatch > 0.999, imatch  # ties at f32 rounding may differ
+
+
 def check_ball_group():
     from learning3d_tpu.kernels.sampling import ball_group_pallas
     from learning3d_tpu.ops.geometry import index_points
@@ -147,5 +166,6 @@ if __name__ == "__main__":
     check_edgeconv()
     check_sampling()
     check_ball_group()
+    check_knn()
     check_bench_kernel_speed()
     print("all kernel checks passed")
