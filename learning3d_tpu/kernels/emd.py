@@ -130,6 +130,205 @@ def _emd_fwd_impl(x, y):
     return cost, g1, g2
 
 
+def _emd_pallas_kernel(
+    x_ref, y_ref, cost_ref, g1_ref, g2_ref, rr_ref, d2_ref, *,
+    n, m, n_pad, m_pad, chunk, cache_d2
+):
+    """One batch item per grid step; distance/kernel tiles are recomputed
+    from the (3, N)/(3, M) coordinates in VMEM, so the (N, M) matrices
+    never exist in HBM at any level. Two passes per level:
+
+    * phase A (per column chunk): accumulate K @ remainR -> ratioL;
+    * phase B/C (per column chunk): sumr, ratioR, match increment W,
+      cost, and the fixed-match gradients — ratioR depends only on its
+      own chunk's sumr, so B and C merge.
+    """
+    xt = x_ref[0]  # (3, Np)
+    xc = jnp.transpose(xt)  # (Np, 3)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    row_valid = rowi < n  # (Np, 1)
+    n_chunks = m_pad // chunk
+    coli = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+    col_valid = coli < m  # (1, Mp)
+
+    from jax.experimental import pallas as pl
+
+    def y_chunk(c0):
+        # dynamic slices are ref-reads (value dynamic_slice is not lowered)
+        return y_ref[0, :, pl.ds(c0, chunk)]  # (3, chunk)
+
+    def compute_d2(c0):
+        # (Np, chunk) exact f32 squared distances for columns [c0, c0+chunk)
+        ys = y_chunk(c0)
+        d0 = xt[0][:, None] - ys[0][None, :]
+        d1 = xt[1][:, None] - ys[1][None, :]
+        d2 = xt[2][:, None] - ys[2][None, :]
+        return d0 * d0 + d1 * d1 + d2 * d2
+
+    if cache_d2:
+        # d2 is needed twice per level for 10 levels; cache it in scratch
+        for ci in range(m_pad // chunk):
+            d2_ref[:, ci * chunk : (ci + 1) * chunk] = compute_d2(ci * chunk)
+
+        def d2_chunk(c0):
+            return d2_ref[:, pl.ds(c0, chunk)]
+
+    else:  # too big for VMEM: recompute per use (3 VPU passes per tile)
+        d2_chunk = compute_d2
+
+    multi_l = 1.0 if n >= m else float(m // n)
+    multi_r = float(n // m) if n >= m else 1.0
+
+    n_levels = 10  # j = 7..-1 (level = -4^j), then level = 0
+
+    # remainR lives in scratch, g2 accumulates in its output ref: both are
+    # chunk-sliced with runtime offsets, which only refs support
+    rr_ref[0:1] = jnp.where(col_valid, jnp.float32(multi_r), 0.0)  # (1, Mp)
+    g2_ref[0] = jnp.zeros((3, m_pad), jnp.float32)
+
+    def level_step(li, carry):
+        remain_l, cost, g1 = carry
+        # level = -4^(7-li) for li < 9, else 0 (exp2 of small ints is exact)
+        level = jnp.where(
+            li < 9, -jnp.exp2(2.0 * (7 - li).astype(jnp.float32)), 0.0
+        )
+
+        # phase A: kr = K @ remainR, accumulated over column chunks
+        # (rolled loops: unrolling makes Mosaic stack-allocate every
+        # iteration's (Np, chunk) temporaries simultaneously -> VMEM OOM)
+        def phase_a(ci, kr):
+            c0 = ci * chunk
+            k = jnp.exp(level * d2_chunk(c0))
+            rr = rr_ref[0:1, pl.ds(c0, chunk)]
+            return kr + jnp.sum(k * rr, axis=1, keepdims=True)
+
+        kr = jax.lax.fori_loop(0, n_chunks, phase_a, jnp.zeros((n_pad, 1), jnp.float32))
+        ratio_l = jnp.where(row_valid, remain_l / (kr + _EPS), 0.0)  # (Np, 1)
+
+        # phase B/C per chunk: sumr, ratioR, match increment, cost, grads
+        # (ratioR depends only on its own chunk's sumr, so B and C merge)
+        def phase_bc(ci, acc):
+            cost, g1, row_w = acc
+            c0 = ci * chunk
+            d2 = d2_chunk(c0)
+            k = jnp.exp(level * d2)
+            rr = rr_ref[0:1, pl.ds(c0, chunk)]
+            sumr = rr * jnp.sum(k * ratio_l, axis=0, keepdims=True)  # (1, chunk)
+            ratio_r = jnp.minimum(rr / (sumr + _EPS), 1.0) * rr
+            rr_ref[0:1, pl.ds(c0, chunk)] = jnp.maximum(rr - sumr, 0.0)
+            w = k * ratio_l * ratio_r  # (Np, chunk)
+            c = jnp.sqrt(jnp.maximum(d2, 1e-20))
+            cost = cost + jnp.sum(w * c, axis=(0, 1), keepdims=True)  # (1, 1)
+            wc = w / c  # d2 floor keeps this finite
+            row_w = row_w + jnp.sum(w, axis=1, keepdims=True)
+            ys = y_chunk(c0)
+            rs = jnp.sum(wc, axis=1, keepdims=True)  # (Np, 1)
+            cs = jnp.sum(wc, axis=0, keepdims=True)  # (1, chunk)
+            g1 = g1 + xc * rs - jnp.concatenate(
+                [
+                    jnp.sum(wc * ys[cc : cc + 1], axis=1, keepdims=True)
+                    for cc in range(3)
+                ],
+                axis=1,
+            )  # (Np, 3)
+            g2c = jnp.concatenate(
+                [
+                    ys[cc : cc + 1] * cs
+                    - jnp.sum(wc * xc[:, cc : cc + 1], axis=0, keepdims=True)
+                    for cc in range(3)
+                ],
+                axis=0,
+            )  # (3, chunk)
+            g2_ref[0, :, pl.ds(c0, chunk)] = g2_ref[0, :, pl.ds(c0, chunk)] + g2c
+            return cost, g1, row_w
+
+        cost, g1, row_w = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            phase_bc,
+            (cost, g1, jnp.zeros((n_pad, 1), jnp.float32)),
+        )
+        remain_l = jnp.maximum(remain_l - row_w, 0.0)
+        return remain_l, cost, g1
+
+    init = (
+        jnp.where(row_valid, jnp.float32(multi_l), 0.0),
+        jnp.zeros((1, 1), jnp.float32),
+        jnp.zeros((n_pad, 3), jnp.float32),
+    )
+    _, cost, g1 = jax.lax.fori_loop(0, n_levels, level_step, init)
+    cost_ref[0] = jnp.broadcast_to(cost, (8, 128))
+    g1_ref[0] = jnp.transpose(g1)  # (3, Np)
+
+
+def _emd_fwd_pallas(x, y, chunk=512):
+    """cost (B,), g1 (B, N, 3), g2 (B, M, 3) via the VMEM-resident kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, _ = x.shape
+    M = y.shape[1]
+    rup = lambda v, mlt: (v + mlt - 1) // mlt * mlt
+    Np, Mp = rup(N, 128), rup(M, 128)
+    # chunk must divide Mp (the chunk loop walks Mp/chunk full tiles)
+    chunk = min(chunk, Mp)
+    while Mp % chunk:
+        chunk -= 128
+    xt = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
+    yt = jnp.swapaxes(y, 1, 2).astype(jnp.float32)
+    if Np != N:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, Np - N)))
+    if Mp != M:
+        yt = jnp.pad(yt, ((0, 0), (0, 0), (0, Mp - M)))
+    import functools
+
+    cache_d2 = Np * Mp * 4 <= 5 * 2**20
+    cost, g1, g2 = pl.pallas_call(
+        functools.partial(
+            _emd_pallas_kernel,
+            n=N, m=M, n_pad=Np, m_pad=Mp, chunk=chunk, cache_d2=cache_d2,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Mp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, Mp), jnp.float32),
+            pltpu.VMEM((Np, Mp) if cache_d2 else (8, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 10 * 3 * B * Np * Mp * 6,
+            bytes_accessed=4 * B * 3 * (Np + Mp) * 2,
+            transcendentals=3 * 10 * B * Np * Mp,
+        ),
+    )(xt, yt)
+    return (
+        cost[:, 0, 0],
+        jnp.swapaxes(g1, 1, 2)[:, :N],
+        jnp.swapaxes(g2, 1, 2)[:, :M],
+    )
+
+
+def _use_emd_pallas(x, y):
+    return (
+        jax.default_backend() == "tpu"
+        and x.shape[1] <= 4096
+        and y.shape[1] <= 4096
+        and x.shape[2] == 3
+    )
+
+
 @jax.custom_vjp
 def emd_loss(x, y):
     """Approximate EMD cost per batch item, (B,).
@@ -137,12 +336,16 @@ def emd_loss(x, y):
     x (B, N, 3), y (B, M, 3) float32. Backward treats the computed match
     as constant, like the reference extension.
     """
+    if _use_emd_pallas(x, y):
+        cost, _, _ = _emd_fwd_pallas(x.astype(jnp.float32), y.astype(jnp.float32))
+        return cost
     cost, _, _ = _emd_fwd_impl(x.astype(jnp.float32), y.astype(jnp.float32))
     return cost
 
 
 def _emd_fwd(x, y):
-    cost, g1, g2 = _emd_fwd_impl(x.astype(jnp.float32), y.astype(jnp.float32))
+    impl = _emd_fwd_pallas if _use_emd_pallas(x, y) else _emd_fwd_impl
+    cost, g1, g2 = impl(x.astype(jnp.float32), y.astype(jnp.float32))
     return cost, (g1, g2)
 
 

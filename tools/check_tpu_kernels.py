@@ -136,6 +136,26 @@ def check_knn():
         assert imatch > 0.999, imatch  # ties at f32 rounding may differ
 
 
+def check_emd():
+    from learning3d_tpu.kernels.emd import _emd_fwd_impl, _emd_fwd_pallas
+
+    for (B, N, M) in [(4, 1024, 1024), (2, 1024, 256), (2, 1000, 777)]:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(N + M))
+        x = jax.random.normal(k1, (B, N, 3))
+        y = jax.random.normal(k2, (B, M, 3))
+        c0, g10, _ = map(np.asarray, jax.jit(_emd_fwd_impl)(x, y))
+        c1, g11, _ = map(np.asarray, jax.jit(_emd_fwd_pallas)(x, y))
+        ce = np.abs(c1 - c0).max() / np.abs(c0).max()
+        # fixed-match gradients: pointwise entries legitimately differ
+        # (exp(-16384 d2) amplifies f32 summation-order differences into
+        # different — equally valid — approxmatch solutions); compare in
+        # the mean
+        ge = np.abs(g11 - g10).mean() / np.abs(g10).mean()
+        print(f"emd pallas B={B} N={N} M={M}: cost rel {ce:.2e}, grad mean rel {ge:.2e}")
+        assert ce < 1e-5, ce
+        assert ge < 0.05, ge
+
+
 def check_ball_group():
     from learning3d_tpu.kernels.sampling import ball_group_pallas
     from learning3d_tpu.ops.geometry import index_points
@@ -167,5 +187,6 @@ if __name__ == "__main__":
     check_sampling()
     check_ball_group()
     check_knn()
+    check_emd()
     check_bench_kernel_speed()
     print("all kernel checks passed")
