@@ -124,6 +124,8 @@ def main():
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--optimizer", default="adam")
+    p.add_argument("--cosine", action="store_true", help="cosine lr decay (the reference's CurveNet recipe)")
+    p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--noise", action="store_true")
     p.add_argument("--nearest_neighbors", type=int, default=20)
     p.add_argument("--seed", type=int, default=1234)
@@ -141,6 +143,8 @@ def main():
         epochs=args.epochs,
         lr=args.lr,
         optimizer=args.optimizer,
+        cosine_decay=args.cosine,
+        momentum=args.momentum,
         seed=args.seed,
         resume=args.resume,
         ckpt_dir=args.ckpt_dir,

@@ -1,0 +1,100 @@
+"""Pallas kernel logic under interpret mode (CPU).
+
+The real kernels only dispatch on TPU (tools/check_tpu_kernels.py validates
+them on hardware); these tests run the same kernel bodies through the
+Pallas TPU interpreter so the selection/gather/annealing logic is covered
+by the CPU test suite too. Shapes are kept tiny — the interpreter is slow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interp():
+    return pltpu.force_tpu_interpret_mode()
+
+
+class TestInterpretKernels:
+    def test_fps(self):
+        from learning3d_tpu.kernels.sampling import fps_pallas
+
+        B, N, P = 2, 256, 16
+        xyz = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+        with _interp():
+            got = np.asarray(fps_pallas(xyz, P))
+        # oracle: plain iterative FPS
+        x = np.asarray(xyz)
+        for b in range(B):
+            dist = np.full(N, 1e10)
+            cur = 0
+            for j in range(P):
+                assert got[b, j] == cur, (b, j)
+                dist = np.minimum(dist, ((x[b] - x[b, cur]) ** 2).sum(-1))
+                cur = int(np.argmax(dist))
+
+    def test_ball_query(self):
+        from learning3d_tpu.kernels.sampling import ball_query_pallas
+
+        B, N, S, ns = 2, 200, 64, 8
+        xyz = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3))
+        q = xyz[:, :S]
+        with _interp():
+            got = np.asarray(ball_query_pallas(0.5, ns, xyz, q, tile_s=64))
+        x = np.asarray(xyz)
+        for b in range(B):
+            for s in range(0, S, 13):
+                d = ((x[b] - x[b, s]) ** 2).sum(-1)
+                inball = np.where(d <= 0.25)[0][:ns]
+                assert np.array_equal(got[b, s, : len(inball)], inball)
+                if len(inball) < ns:
+                    assert np.all(got[b, s, len(inball):] == inball[0])
+
+    def test_ball_group(self):
+        from learning3d_tpu.kernels.sampling import ball_group_pallas
+        from learning3d_tpu.ops.geometry import index_points
+        from learning3d_tpu.ops.grouping import query_ball_point_excluding_self
+
+        B, N, ns = 2, 200, 64  # ns * C = 384, a lane multiple
+        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+        xyz = jax.random.normal(k1, (B, N, 3))
+        nrm = jax.random.normal(k2, (B, N, 3))
+        itself = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+        vals = jnp.concatenate([xyz, nrm], -1)
+        with _interp():
+            got = np.asarray(
+                ball_group_pallas(0.6, ns, xyz, xyz, itself, vals, tile_s=64)
+            )
+        idx = query_ball_point_excluding_self(0.6, ns, xyz, xyz, itself)
+        want = np.asarray(index_points(vals, idx))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_knn(self):
+        from learning3d_tpu.kernels.knn import knn_pallas
+
+        B, S, N, k = 2, 64, 200, 5
+        kq, kp = jax.random.split(jax.random.PRNGKey(3))
+        q = jax.random.normal(kq, (B, S, 3))
+        p = jax.random.normal(kp, (B, N, 3))
+        with _interp():
+            sq, idx = map(np.asarray, knn_pallas(q, p, k, tile_s=64))
+        d = ((np.asarray(q)[:, :, None] - np.asarray(p)[:, None]) ** 2).sum(-1)
+        idx_ref = np.argsort(d, axis=-1, kind="stable")[..., :k]
+        np.testing.assert_array_equal(idx, idx_ref)
+        np.testing.assert_allclose(sq, np.take_along_axis(d, idx_ref, -1), atol=1e-5)
+
+    def test_emd(self):
+        from learning3d_tpu.kernels.emd import _emd_fwd_impl, _emd_fwd_pallas
+
+        B, N, M = 1, 128, 128
+        k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+        x = jax.random.normal(k1, (B, N, 3))
+        y = jax.random.normal(k2, (B, M, 3))
+        c0, g10, g20 = map(np.asarray, _emd_fwd_impl(x, y))
+        with _interp():
+            c1, g11, g21 = map(np.asarray, _emd_fwd_pallas(x, y, chunk=128))
+        np.testing.assert_allclose(c1, c0, rtol=1e-4)
+        # pointwise grads legitimately differ at summation-order bifurcations
+        assert np.abs(g11 - g10).mean() / np.abs(g10).mean() < 0.05
+        assert np.abs(g21 - g20).mean() / np.abs(g20).mean() < 0.05
