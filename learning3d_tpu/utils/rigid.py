@@ -8,10 +8,50 @@ and defaults off) and batched weighted Kabsch with reflection resolution.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-5
+
+
+def _sinkhorn_slack_xla(log_alpha, n_iters):
+    padded = jnp.pad(log_alpha, ((0, 0), (0, 1), (0, 1)))
+
+    def step(la, _):
+        # Row normalization over all K+1 columns, slack row untouched.
+        rows = la[:, :-1, :] - jax.scipy.special.logsumexp(la[:, :-1, :], axis=2, keepdims=True)
+        la = jnp.concatenate([rows, la[:, -1:, :]], axis=1)
+        cols = la[:, :, :-1] - jax.scipy.special.logsumexp(la[:, :, :-1], axis=1, keepdims=True)
+        la = jnp.concatenate([cols, la[:, :, -1:]], axis=2)
+        return la, None
+
+    padded, _ = jax.lax.scan(step, padded, None, length=n_iters)
+    return padded[:, :-1, :-1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sinkhorn_slack_fast(log_alpha, n_iters):
+    """Pallas forward (matrix resident in VMEM across all iterations),
+    XLA-recompute backward — the flash-attention-style remat pattern, so
+    training pays the old forward cost once in the backward while eval
+    gets the full kernel speedup."""
+    from learning3d_tpu.kernels.sinkhorn import sinkhorn_log_pallas
+
+    return sinkhorn_log_pallas(log_alpha, n_iters=n_iters)
+
+
+def _sinkhorn_fast_fwd(log_alpha, n_iters):
+    return _sinkhorn_slack_fast(log_alpha, n_iters), log_alpha
+
+
+def _sinkhorn_fast_bwd(n_iters, log_alpha, g):
+    _, vjp = jax.vjp(lambda a: _sinkhorn_slack_xla(a, n_iters), log_alpha)
+    return vjp(g)
+
+
+_sinkhorn_slack_fast.defvjp(_sinkhorn_fast_fwd, _sinkhorn_fast_bwd)
 
 
 def sinkhorn_log(log_alpha, n_iters: int = 5, slack: bool = True):
@@ -31,18 +71,12 @@ def sinkhorn_log(log_alpha, n_iters: int = 5, slack: bool = True):
         return out
 
     B, J, K = log_alpha.shape
-    padded = jnp.pad(log_alpha, ((0, 0), (0, 1), (0, 1)))
-
-    def step(la, _):
-        # Row normalization over all K+1 columns, slack row untouched.
-        rows = la[:, :-1, :] - jax.scipy.special.logsumexp(la[:, :-1, :], axis=2, keepdims=True)
-        la = jnp.concatenate([rows, la[:, -1:, :]], axis=1)
-        cols = la[:, :, :-1] - jax.scipy.special.logsumexp(la[:, :, :-1], axis=1, keepdims=True)
-        la = jnp.concatenate([cols, la[:, :, -1:]], axis=2)
-        return la, None
-
-    padded, _ = jax.lax.scan(step, padded, None, length=n_iters)
-    return padded[:, :-1, :-1]
+    if (
+        jax.default_backend() == "tpu"
+        and (J + 1) * (K + 1) * 4 <= 5 * 2**20  # one item's matrix in VMEM
+    ):
+        return _sinkhorn_slack_fast(log_alpha, n_iters)
+    return _sinkhorn_slack_xla(log_alpha, n_iters)
 
 
 def weighted_kabsch(a, b, weights):

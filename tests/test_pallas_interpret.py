@@ -84,6 +84,16 @@ class TestInterpretKernels:
         np.testing.assert_array_equal(idx, idx_ref)
         np.testing.assert_allclose(sq, np.take_along_axis(d, idx_ref, -1), atol=1e-5)
 
+    def test_sinkhorn(self):
+        from learning3d_tpu.kernels.sinkhorn import sinkhorn_log_pallas
+        from learning3d_tpu.utils.rigid import sinkhorn_log
+
+        la = jax.random.normal(jax.random.PRNGKey(5), (2, 100, 120))
+        want = np.asarray(sinkhorn_log(la, n_iters=5, slack=True))
+        with _interp():
+            got = np.asarray(sinkhorn_log_pallas(la, n_iters=5))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_emd(self):
         from learning3d_tpu.kernels.emd import _emd_fwd_impl, _emd_fwd_pallas
 
