@@ -7,10 +7,22 @@ Kabsch, PointConv / CurveNet / pointnet2 blocks.
 """
 
 from learning3d_tpu.utils.layers import MLP1d, MLP2d, Pooling  # noqa: F401
+from learning3d_tpu.utils.pointnet2_modules import (  # noqa: F401
+    GroupAll,
+    PointnetFPModule,
+    PointnetSAModule,
+    PointnetSAModuleMSG,
+    QueryAndGroup,
+    SharedMLP,
+)
 from learning3d_tpu.utils.rigid import (  # noqa: F401
     kabsch,
     sinkhorn_log,
     weighted_kabsch,
 )
 from learning3d_tpu.utils.svd import SVDHead  # noqa: F401
+from learning3d_tpu.utils.torch_import import (  # noqa: F401
+    import_torch_state_dict,
+    load_torch_checkpoint,
+)
 from learning3d_tpu.utils.transformer import Identity, Transformer  # noqa: F401
