@@ -59,9 +59,10 @@ def _knn_tile(q, p, k):
 # * no VJP: indices are integer outputs, and callers differentiate through
 #   the downstream gather, never through the selection.
 #
-# Used by ops.geometry.knn / knn_point for 3-channel (coordinate) inputs
-# on TPU; feature-space kNN (e.g. PRNet's dynamic graphs) stays on the XLA
-# path where the MXU matmul expansion wins.
+# Used by ops.geometry.knn / knn_point on TPU for coordinate inputs
+# (exact per-coordinate differences) and for feature spaces up to 256
+# channels (PRNet's dynamic graphs), where the cross term runs on the MXU
+# with the same |q|^2 - 2qp + |p|^2 expansion as the XLA path.
 
 import functools
 
@@ -76,12 +77,31 @@ def _round_up(x, m):
 
 
 def _knn_kernel(q_ref, p_ref, di_ref, ii_ref, *, k, n_valid):
-    qt = q_ref[0]  # (3, TS)
-    pt = p_ref[0]  # (3, N)
-    d0 = qt[0][:, None] - pt[0][None, :]
-    d1 = qt[1][:, None] - pt[1][None, :]
-    d2 = qt[2][:, None] - pt[2][None, :]
-    d = d0 * d0 + d1 * d1 + d2 * d2  # (TS, N)
+    qt = q_ref[0]  # (C, TS)
+    pt = p_ref[0]  # (C, N)
+    if qt.shape[0] == 3:
+        # coordinates: exact per-coordinate differences (at least as
+        # accurate as the XLA matmul expansion)
+        d0 = qt[0][:, None] - pt[0][None, :]
+        d1 = qt[1][:, None] - pt[1][None, :]
+        d2 = qt[2][:, None] - pt[2][None, :]
+        d = d0 * d0 + d1 * d1 + d2 * d2  # (TS, N)
+    else:
+        # feature space: |q|^2 - 2 q.p + |p|^2 with the cross term on the
+        # MXU (same expansion as the XLA path, ops/geometry.py
+        # square_distance; channel padding is zeros so distances are
+        # unaffected)
+        cross = jax.lax.dot_general(
+            qt, pt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # selection is sensitive to the bf16 MXU default (94% index
+            # match at C=64); full-f32 passes match ops.geometry
+            # square_distance's HIGHEST-precision oracle
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TS, N)
+        q_sq = jnp.sum(qt * qt, axis=0)[:, None]
+        p_sq = jnp.sum(pt * pt, axis=0)[None, :]
+        d = q_sq - 2.0 * cross + p_sq
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     d = jnp.where(col < n_valid, d, _BIG)
 
@@ -118,24 +138,23 @@ def knn_pallas(queries, points, k, tile_s=256):
     """
     B, N, C = points.shape
     S = queries.shape[1]
-    if C != 3:
-        raise ValueError("knn_pallas supports 3-channel coordinates")
+    Cp = 3 if C == 3 else _round_up(C, 8)
     Np = _round_up(N, 128)
     Sp = _round_up(S, tile_s) if S > tile_s else _round_up(S, 8)
     tile = min(tile_s, Sp)
     kp = _round_up(k, 128)
     pt = jnp.swapaxes(points, 1, 2).astype(jnp.float32)
     qt = jnp.swapaxes(queries, 1, 2).astype(jnp.float32)
-    if Np != N:
-        pt = jnp.pad(pt, ((0, 0), (0, 0), (0, Np - N)))
-    if Sp != S:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Sp - S)))
+    if Np != N or Cp != C:
+        pt = jnp.pad(pt, ((0, 0), (0, Cp - C), (0, Np - N)))
+    if Sp != S or Cp != C:
+        qt = jnp.pad(qt, ((0, 0), (0, Cp - C), (0, Sp - S)))
     dist, idx = pl.pallas_call(
         functools.partial(_knn_kernel, k=k, n_valid=N),
         grid=(B, Sp // tile),
         in_specs=[
-            pl.BlockSpec((1, 3, tile), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Np), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, tile), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, Np), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tile, kp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -146,8 +165,8 @@ def knn_pallas(queries, points, k, tile_s=256):
             jax.ShapeDtypeStruct((B, Sp, kp), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Sp * Np * (3 + k),
-            bytes_accessed=4 * B * (Np * 3 + Sp * (3 + 2 * kp)),
+            flops=2 * B * Sp * Np * (Cp + k),
+            bytes_accessed=4 * B * (Np * Cp + Sp * (Cp + 2 * kp)),
             transcendentals=0,
         ),
     )(qt, pt)

@@ -66,6 +66,9 @@ def sinkhorn_log_pallas(log_alpha, n_iters: int = 5):
         in_specs=[pl.BlockSpec((1, Jp, Kp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, Jp, Kp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Jp, Kp), jnp.float32),
+        # the matrix is updated in place; aliasing halves the VMEM
+        # footprint (in+out+pipeline buffers OOM at J=K=1024 otherwise)
+        input_output_aliases={0: 0},
         cost_estimate=pl.CostEstimate(
             flops=6 * n_iters * B * Jp * Kp,
             bytes_accessed=8 * B * Jp * Kp,

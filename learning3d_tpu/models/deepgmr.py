@@ -132,6 +132,11 @@ class ClusterNet(nnx.Module):
         x = self.tnet(feats) if self.use_tnet else feats
         for blk in self.encoder:
             x = blk(x)
+        # Fusion fence: XLA's TPU fusion pass CHECK-crashes when it fuses
+        # this max-pool + broadcast-concat with the surrounding matmuls
+        # (fusion_util.cc TransformWindow) at some (B, N) shapes — same
+        # workaround as models/pcn.py:58-61.
+        x = jax.lax.optimization_barrier(x)
         g = jnp.max(x, axis=1, keepdims=True)
         y = jnp.concatenate([x, jnp.broadcast_to(g, x.shape)], axis=-1)
         for blk in self.decoder:

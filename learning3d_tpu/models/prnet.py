@@ -21,7 +21,7 @@ from flax import nnx
 
 from learning3d_tpu.ops import quaternion as quat
 from learning3d_tpu.ops import se3, transforms
-from learning3d_tpu.ops.geometry import get_graph_feature, index_points
+from learning3d_tpu.ops.geometry import index_points, knn
 from learning3d_tpu.utils.svd import procrustes_from_correspondence
 from learning3d_tpu.utils.transformer import Identity, Transformer
 
@@ -79,8 +79,18 @@ class PRDGCNN(nnx.Module):
         stage_outputs = []
         h = x
         for conv, bn in zip(self.convs[:4], self.bns[:4]):
-            e = get_graph_feature(h, k=self.k, approx=self.approx_knn)
-            e = _lrelu(bn(conv(e)))
+            # EdgeConv on concat(neighbors, center) split into two small
+            # matmuls: conv([h_j ; h_i]) == h_j @ Wn + h_i @ Wc (bias-free),
+            # so the per-point products are computed once and *then*
+            # gathered — k x fewer MXU FLOPs and no (B, N, k, 2C) edge
+            # tensor. Identical math to
+            # conv(get_graph_feature(h)) (reference prnet.py:73-97).
+            idx = knn(h, self.k, approx=self.approx_knn)  # (B, N, k)
+            C = h.shape[-1]
+            zn = h @ conv.kernel[:C]  # neighbor term (B, N, Co)
+            zc = h @ conv.kernel[C:]  # center term (B, N, Co)
+            z = index_points(zn, idx) + zc[:, :, None, :]
+            e = _lrelu(bn(z))
             h = jnp.max(e, axis=2)  # (B, N, C)
             stage_outputs.append(h)
         cat = jnp.concatenate(stage_outputs, axis=-1)  # (B, N, 512)

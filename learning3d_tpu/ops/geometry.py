@@ -61,10 +61,12 @@ def _select_k_smallest(d, k, approx):
 
 def _use_knn_pallas(points, k, approx):
     # the VMEM-tiled kernel wins only where the (S, N) matrix + top_k
-    # hurt; at small N the XLA path is already sub-ms and fuses better
+    # hurt; at small N the XLA path is already sub-ms and fuses better.
+    # Covers both coordinates (exact differences) and feature spaces up
+    # to 256 channels (MXU matmul expansion — PRNet's dynamic graphs).
     return (
         not approx
-        and points.shape[-1] == 3
+        and points.shape[-1] <= 256
         and k <= 64
         and points.shape[-2] >= 512
         and jax.default_backend() == "tpu"

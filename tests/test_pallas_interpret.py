@@ -84,6 +84,21 @@ class TestInterpretKernels:
         np.testing.assert_array_equal(idx, idx_ref)
         np.testing.assert_allclose(sq, np.take_along_axis(d, idx_ref, -1), atol=1e-5)
 
+    def test_knn_feature_space(self):
+        """C > 3 path: MXU matmul distance expansion (PRNet dynamic graphs)."""
+        from learning3d_tpu.kernels.knn import knn_pallas
+
+        B, S, N, C, k = 2, 64, 200, 67, 5
+        kq, kp = jax.random.split(jax.random.PRNGKey(4))
+        q = jax.random.normal(kq, (B, S, C))
+        p = jax.random.normal(kp, (B, N, C))
+        with _interp():
+            sq, idx = map(np.asarray, knn_pallas(q, p, k, tile_s=64))
+        d = ((np.asarray(q)[:, :, None] - np.asarray(p)[:, None]) ** 2).sum(-1)
+        idx_ref = np.argsort(d, axis=-1, kind="stable")[..., :k]
+        np.testing.assert_array_equal(idx, idx_ref)
+        np.testing.assert_allclose(sq, np.take_along_axis(d, idx_ref, -1), atol=1e-4)
+
     def test_sinkhorn(self):
         from learning3d_tpu.kernels.sinkhorn import sinkhorn_log_pallas
         from learning3d_tpu.utils.rigid import sinkhorn_log

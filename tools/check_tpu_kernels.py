@@ -121,19 +121,26 @@ def check_knn():
     from learning3d_tpu.kernels.knn import knn_pallas
     from learning3d_tpu.ops.geometry import square_distance
 
-    for (B, S, N, k) in [(4, 1024, 1024, 21), (2, 256, 1000, 16), (2, 64, 64, 20)]:
+    # last two rows: feature-space path (MXU matmul expansion, C > 3)
+    for (B, S, N, k, C) in [
+        (4, 1024, 1024, 21, 3),
+        (2, 256, 1000, 16, 3),
+        (2, 64, 64, 20, 3),
+        (16, 768, 768, 20, 64),
+        (16, 768, 768, 20, 256),
+    ]:
         kq, kp = jax.random.split(jax.random.PRNGKey(B * N + k))
-        q = jax.random.normal(kq, (B, S, 3))
-        p = jax.random.normal(kp, (B, N, 3))
+        q = jax.random.normal(kq, (B, S, C))
+        p = jax.random.normal(kp, (B, N, C))
         sq, idx = jax.jit(lambda q, p: knn_pallas(q, p, k))(q, p)
         d = square_distance(q, p)
         neg, idx_x = jax.lax.top_k(-d, k)
         sq, idx, dx, idx_x = map(np.asarray, (sq, idx, -neg, idx_x))
         derr = np.abs(sq - dx).max()
         imatch = (idx == idx_x).mean()
-        print(f"knn pallas B={B} S={S} N={N} k={k}: max|d-d_ref|={derr:.2e} idx match={imatch:.4f}")
-        assert derr < 1e-3, derr
-        assert imatch > 0.999, imatch  # ties at f32 rounding may differ
+        print(f"knn pallas B={B} S={S} N={N} k={k} C={C}: max|d-d_ref|={derr:.2e} idx match={imatch:.4f}")
+        assert derr < (1e-3 if C == 3 else 1e-2), derr
+        assert imatch > (0.999 if C == 3 else 0.99), imatch  # f32 rounding ties
 
 
 def check_emd():
