@@ -83,8 +83,12 @@ class PCN(nnx.Module):
         # tensor never exists and first-layer FLOPs drop ~200x. Identical
         # math to conv5(concat(...)) (reference pcn.py:70-109).
         local = jnp.concatenate([grid_feat, center], axis=-1)  # (B, F, 5)
-        h_local = local @ self.conv5.kernel[:5]
-        h_glob = v @ self.conv5.kernel[5:] + self.conv5.bias  # (B, 512)
+        # cast like nnx.Linear.__call__ would — using conv5.kernel
+        # directly bypasses the module's compute-dtype promotion
+        dt = self.conv5.dtype or local.dtype
+        kern = self.conv5.kernel.value.astype(dt)
+        h_local = local.astype(dt) @ kern[:5]
+        h_glob = v.astype(dt) @ kern[5:] + self.conv5.bias.value.astype(dt)  # (B, 512)
         h = jax.nn.relu(h_local + h_glob[:, None, :])
         h = jax.nn.relu(self.conv6(h))
         return self.conv7(h) + center

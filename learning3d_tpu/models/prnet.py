@@ -87,11 +87,33 @@ class PRDGCNN(nnx.Module):
             # conv(get_graph_feature(h)) (reference prnet.py:73-97).
             idx = knn(h, self.k, approx=self.approx_knn)  # (B, N, k)
             C = h.shape[-1]
-            zn = h @ conv.kernel[:C]  # neighbor term (B, N, Co)
-            zc = h @ conv.kernel[C:]  # center term (B, N, Co)
-            z = index_points(zn, idx) + zc[:, :, None, :]
-            e = _lrelu(bn(z))
-            h = jnp.max(e, axis=2)  # (B, N, C)
+            # cast like nnx.Linear.__call__ would — using conv.kernel
+            # directly bypasses the module's compute-dtype promotion and
+            # would silently run every matmul (and everything downstream)
+            # in f32
+            dt = conv.dtype or h.dtype
+            hd = h.astype(dt)
+            kern = conv.kernel.value.astype(dt)
+            zn = hd @ kern[:C]  # neighbor term (B, N, Co)
+            zc = hd @ kern[C:]  # center term (B, N, Co)
+            if bn.use_running_average:
+                # Eval: BN is the per-channel affine s*z + b and lrelu is
+                # monotone, so max_j lrelu(s*(zn_j + zc) + b) = lrelu
+                # applied to the per-channel max (s >= 0) / min (s < 0)
+                # of the gathered neighbor features — the affine + lrelu
+                # run on (B, N, Co), never on the (B, N, k, Co) edge
+                # tensor. Selects the same element per channel, so the
+                # values are identical to the train-shape path.
+                s = (bn.scale.value * jax.lax.rsqrt(bn.var.value + bn.epsilon)).astype(zn.dtype)
+                b = (bn.bias.value - bn.mean.value * bn.scale.value
+                     * jax.lax.rsqrt(bn.var.value + bn.epsilon)).astype(zn.dtype)
+                g = index_points(zn, idx)  # (B, N, k, Co)
+                v = jnp.where(s >= 0, jnp.max(g, axis=2), jnp.min(g, axis=2))
+                h = _lrelu(s * (v + zc) + b)
+            else:
+                z = index_points(zn, idx) + zc[:, :, None, :]
+                e = _lrelu(bn(z))
+                h = jnp.max(e, axis=2)  # (B, N, C)
             stage_outputs.append(h)
         cat = jnp.concatenate(stage_outputs, axis=-1)  # (B, N, 512)
         return _lrelu(self.bns[4](self.convs[4](cat)))
@@ -223,9 +245,8 @@ class PRNet(nnx.Module):
             KeyPointNet(num_keypoints) if num_keypoints != num_subsampled_points else None
         )
 
-    def _predict_embedding(self, src, tgt):
+    def _predict_embedding(self, src, tgt, tgt_emb):
         src_emb = self.emb_nn(src)
-        tgt_emb = self.emb_nn(tgt)
         src_p, tgt_p = self.attention(src_emb, tgt_emb)
         src_emb = src_emb + src_p
         tgt_emb = tgt_emb + tgt_p
@@ -234,8 +255,8 @@ class PRNet(nnx.Module):
         temperature, disparity = self.temp_net(src_emb, tgt_emb)
         return src, tgt, src_emb, tgt_emb, temperature, disparity
 
-    def _spam(self, src, tgt):
-        s, t, src_emb, tgt_emb, temp, disparity = self._predict_embedding(src, tgt)
+    def _spam(self, src, tgt, tgt_emb_raw):
+        s, t, src_emb, tgt_emb, temp, disparity = self._predict_embedding(src, tgt, tgt_emb_raw)
         R_ab, t_ab = self.head(src_emb, tgt_emb, s, t, temp)
         R_ba, t_ba = self.head(tgt_emb, src_emb, t, s, temp)
         return R_ab, t_ab, R_ba, t_ba, disparity
@@ -259,9 +280,18 @@ class PRNet(nnx.Module):
         R_ba_pred = jnp.broadcast_to(eye, (B, 3, 3))
         t_ba_pred = jnp.zeros((B, 3), dtype=src.dtype)
 
+        # The template never moves, so its embedding is loop-invariant:
+        # compute it once instead of once per iteration (the reference
+        # re-embeds tgt each iteration, prnet.py:322-347 — identical
+        # output, since train-mode BN normalizes each call with its own
+        # batch stats; only BN running-average update counts differ).
+        # With kNN as a Pallas call XLA can no longer CSE the repeats:
+        # this is 2 of 6 DGCNN passes at num_iters=3.
+        tgt_emb_raw = self.emb_nn(tgt)
+
         total_loss = 0.0
         for i in range(self.num_iters):
-            R_ab_i, t_ab_i, R_ba_i, t_ba_i, disparity = self._spam(src, tgt)
+            R_ab_i, t_ab_i, R_ba_i, t_ba_i, disparity = self._spam(src, tgt, tgt_emb_raw)
             R_ab_pred = R_ab_i @ R_ab_pred
             t_ab_pred = jnp.einsum("bij,bj->bi", R_ab_i, t_ab_pred) + t_ab_i
             R_ba_pred = R_ba_i @ R_ba_pred

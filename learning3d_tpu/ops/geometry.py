@@ -34,12 +34,34 @@ def square_distance(src, dst, precision=jax.lax.Precision.HIGHEST):
     return d
 
 
+def _index_points_matmul(points, idx):
+    """One-hot MXU gather: (B, N, C) x (B, S, K) -> (B, S, K, C).
+
+    XLA's take_along_axis lowers to a slow dynamic-gather loop on TPU
+    (~10x slower at B=16, N=768, K=20); a one-hot (S*K, N) @ (N, C)
+    product runs on the MXU with the iota-compare fused in. bf16 values
+    copy exactly through a single bf16 MXU pass (each one-hot row has a
+    single 1.0)."""
+    N = points.shape[1]
+    onehot = (idx[..., None] == jnp.arange(N, dtype=idx.dtype)).astype(points.dtype)
+    return jnp.einsum("bskn,bnc->bskc", onehot, points)
+
+
 def index_points(points, idx):
     """Batched gather. points (B, N, C); idx (B, S) or (B, S, K) int ->
     (B, S, C) / (B, S, K, C). (Reference model_common_utils.py:40-56 and
     the pointnet2 gather/group kernels.)"""
     if idx.ndim == 2:
         return jnp.take_along_axis(points, idx[..., None], axis=1)
+    # neighbor gathers on TPU: MXU one-hot product (exact for bf16 — the
+    # dtype models run in on TPU; f32 stays on the gather path so
+    # geometry/selection numerics are untouched)
+    if (
+        points.dtype == jnp.bfloat16
+        and points.shape[1] <= 4096
+        and jax.default_backend() == "tpu"
+    ):
+        return _index_points_matmul(points, idx)
     # (B, S, K): flatten the trailing sample dims, gather, reshape back.
     B = points.shape[0]
     flat = idx.reshape(B, -1)

@@ -166,6 +166,36 @@ class TestRegistration:
         result = net(src, tgt, igt=se3.inverse(igt))
         assert np.isfinite(float(result["loss"]))
 
+    def test_prnet_dgcnn_eval_fast_path_matches_edge_tensor(self):
+        """Eval-mode EdgeConv collapses BN+lrelu+max to a per-channel
+        monotone reduction; pin it against the naive (B,N,k,2C) path."""
+        from learning3d_tpu.models.prnet import PRDGCNN, _lrelu
+        from learning3d_tpu.ops.geometry import get_graph_feature
+
+        enc = PRDGCNN(emb_dims=32, k=8, rngs=nnx.Rngs(0))
+        x = clouds(3, n=40)
+        enc.train()
+        _ = enc(x)  # populate running stats away from init
+        # make some BN scales negative to exercise the min branch
+        for bn in enc.bns:
+            s = np.array(bn.scale.value)
+            s[::2] = -0.7
+            bn.scale.value = jnp.asarray(s)
+        enc.eval()
+        got = enc(x)
+
+        # naive reference: full (B, N, k, 2C) edge tensor through
+        # eval-mode BN + lrelu, max over k — the reference formulation
+        h = x
+        outs = []
+        for conv, bn in zip(enc.convs[:4], enc.bns[:4]):
+            e = get_graph_feature(h, k=enc.k)
+            h = jnp.max(_lrelu(bn(conv(e))), axis=2)
+            outs.append(h)
+        cat = jnp.concatenate(outs, axis=-1)
+        want = _lrelu(enc.bns[4](enc.convs[4](cat)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
 
 class TestOther:
     def test_pcn(self):

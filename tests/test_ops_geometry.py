@@ -21,6 +21,19 @@ class TestSquareDistance:
         np.testing.assert_allclose(d, ref, atol=1e-4)
 
 
+class TestIndexPointsMatmul:
+    def test_matches_gather_bf16(self):
+        """The TPU one-hot MXU gather path must copy bf16 values exactly."""
+        from learning3d_tpu.ops.geometry import _index_points_matmul
+
+        kp, ki = jax.random.split(jax.random.PRNGKey(9))
+        pts = jax.random.normal(kp, (2, 50, 19), dtype=jnp.bfloat16)
+        idx = jax.random.randint(ki, (2, 30, 7), 0, 50)
+        got = np.asarray(_index_points_matmul(pts, idx))
+        want = np.asarray(pts)[np.arange(2)[:, None, None], np.asarray(idx)]
+        np.testing.assert_array_equal(got, want)
+
+
 class TestKNN:
     def test_knn_self(self):
         x = clouds(jax.random.PRNGKey(1), n=64)

@@ -187,8 +187,26 @@ def check_ball_group():
     assert frac < 1e-3, frac
 
 
+def check_index_points_matmul():
+    """bf16 one-hot MXU gather must copy values exactly (vs gather path)."""
+    from learning3d_tpu.ops.geometry import _index_points_matmul
+
+    B, N, S, K, C = 16, 768, 768, 20, 256
+    kp, ki = jax.random.split(jax.random.PRNGKey(7))
+    pts = jax.random.normal(kp, (B, N, C), dtype=jnp.bfloat16)
+    idx = jax.random.randint(ki, (B, S, K), 0, N)
+    got = jax.jit(_index_points_matmul)(pts, idx)
+    want = jnp.take_along_axis(pts, idx.reshape(B, -1)[..., None], axis=1).reshape(
+        B, S, K, C
+    )
+    mism = (np.asarray(got) != np.asarray(want)).mean()
+    print(f"index_points matmul gather: mismatch frac = {mism:.2e}")
+    assert mism == 0.0, mism
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
+    check_index_points_matmul()
     check_chamfer()
     check_edgeconv()
     check_sampling()
