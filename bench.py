@@ -104,11 +104,59 @@ def bench_dcp(batch=32, points=1024, dtype=jnp.bfloat16):
     return batch / per
 
 
+def bench_pointnet_train(batch=256, points=1024, dtype=jnp.bfloat16):
+    """Full training step (forward + backward + adam update + BN batch
+    stats), K steps inside one fori_loop, difference-quotient timing."""
+    import optax
+    from learning3d_tpu.models import Classifier, PointNet
+
+    model = Classifier(
+        PointNet(emb_dims=1024, use_bn=True, dtype=dtype, rngs=nnx.Rngs(0)),
+        num_classes=40,
+        dtype=dtype,
+        rngs=nnx.Rngs(1),
+    )
+    model.train()
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3), jnp.float32)
+    y = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, 40)
+
+    def loss_fn(params, rest, x, y):
+        # copy=True: fresh Variables at this trace level, so BN batch-stat
+        # mutation inside grad-of-fori_loop doesn't trip the trace check
+        m = nnx.merge(graphdef, params, rest, copy=True)
+        logits = m(x)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        _, _, rest_new = nnx.split(m, nnx.Param, ...)  # updated BN stats
+        return loss, rest_new
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n, params, rest, opt_state, x, y):
+        def body(i, carry):
+            params, rest, opt_state, acc = carry
+            (loss, rest), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, rest, x + 1e-4 * i, y
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, rest, opt_state, acc + loss
+
+        carry = jax.lax.fori_loop(0, n, body, (params, rest, opt_state, jnp.float32(0)))
+        return carry[-1]
+
+    per = _timed_per_iter(lambda n: many(n, params, rest, opt_state, x, y), iters=21)
+    return batch / per
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--points", type=int, default=1024)
     p.add_argument("--all", action="store_true", help="also bench DCP registration")
+    p.add_argument("--train", action="store_true", help="also bench the full train step")
     args = p.parse_args()
 
     value = bench_pointnet_cls(args.batch, args.points)
@@ -121,6 +169,10 @@ def main():
     }
     if args.all:
         result["dcp_clouds_per_sec"] = round(bench_dcp(), 1)
+    if args.train:
+        result["pointnet_train_clouds_per_sec"] = round(
+            bench_pointnet_train(args.batch, args.points), 1
+        )
     print(json.dumps(result))
 
 

@@ -76,10 +76,9 @@ class RPMNet(nnx.Module):
             return data[..., :3], data[..., 3:6]
         return data, jnp.zeros_like(data)
 
-    def _spam(self, xyz_template, norm_template, xyz_source, norm_source):
+    def _spam(self, xyz_template, norm_template, xyz_source, norm_source, feat_template):
         beta, alpha = self.weights_net(xyz_source, xyz_template)
         feat_source = self.feat_extractor(xyz_source, norm_source)
-        feat_template = self.feat_extractor(xyz_template, norm_template)
         feat_distance = match_features(feat_source, feat_template)
         affinity = self.compute_affinity(beta, feat_distance, alpha)
         log_perm = sinkhorn_log(affinity, n_iters=self.num_sk_iter, slack=self.add_slack)
@@ -97,9 +96,14 @@ class RPMNet(nnx.Module):
         transforms_hist, perms, gammas, weighted_hist, betas, alphas = [], [], [], [], [], []
         transform = None
         r = None
+        # the template never moves: extract its features once outside the
+        # loop (the reference re-extracts per iteration, rpmnet.py:283-296;
+        # identical math — and explicit hoisting doesn't rely on XLA
+        # CSE-ing the Pallas grouping kernel inside PPFNet)
+        feat_template = self.feat_extractor(xyz_template, norm_template)
         for _ in range(max_iterations):
             weighted_template, perm, affinity, beta, alpha, r = self._spam(
-                xyz_template, norm_template, xyz_source_t, norm_source_t
+                xyz_template, norm_template, xyz_source_t, norm_source_t, feat_template
             )
             transform = weighted_kabsch(
                 xyz_source, weighted_template, jnp.sum(perm, axis=2)
