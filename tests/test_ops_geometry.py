@@ -33,6 +33,25 @@ class TestIndexPointsMatmul:
         want = np.asarray(pts)[np.arange(2)[:, None, None], np.asarray(idx)]
         np.testing.assert_array_equal(got, want)
 
+    def test_vjp_matches_gather(self):
+        """Backward (scatter-add via transposed one-hot product) must match
+        take_along_axis's VJP — models train through this path on TPU."""
+        from learning3d_tpu.ops.geometry import _index_points_matmul
+
+        kp, ki, kc = jax.random.split(jax.random.PRNGKey(11), 3)
+        pts = jax.random.normal(kp, (2, 40, 8))  # f32 so grads are tight
+        idx = jax.random.randint(ki, (2, 25, 5), 0, 40)
+        ct = jax.random.normal(kc, (2, 25, 5, 8))
+
+        def ref(p):
+            flat = idx.reshape(2, -1)
+            out = jnp.take_along_axis(p, flat[..., None], axis=1)
+            return out.reshape(idx.shape + (p.shape[-1],))
+
+        g1 = jax.vjp(lambda p: _index_points_matmul(p, idx), pts)[1](ct)[0]
+        g2 = jax.vjp(ref, pts)[1](ct)[0]
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
 
 class TestKNN:
     def test_knn_self(self):
