@@ -127,6 +127,10 @@ def main():
     p.add_argument("--cosine", action="store_true", help="cosine lr decay (the reference's CurveNet recipe)")
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--noise", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device rotate/scale/jitter augmentation (classification)")
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--nearest_neighbors", type=int, default=20)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", default="")
@@ -149,6 +153,9 @@ def main():
         resume=args.resume,
         ckpt_dir=args.ckpt_dir,
         noise=args.noise,
+        augment=args.augment,
+        label_smoothing=args.label_smoothing,
+        weight_decay=args.weight_decay,
     )
     model = build_model(args.model, args, nnx.Rngs(args.seed))
     trainer = Trainer(cfg, model)

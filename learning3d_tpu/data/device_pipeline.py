@@ -35,6 +35,43 @@ def batch_iterator(dataset, batch_size, *, shuffle=True, seed=0, drop_last=True,
             return  # single pass by default; loop externally per epoch
 
 
+def prefetch_to_device(iterator, put=None, size=2):
+    """Double-buffered background prefetch: batch assembly (the
+    ``dataset[i]`` numpy work) and the host->device transfer happen on a
+    worker thread while the main thread dispatches compute — the role of
+    the reference's ``DataLoader(num_workers=4)``
+    (examples/train_pointnet.py:215), without fork overhead.
+
+    ``put`` maps a host batch to device arrays (e.g.
+    ``lambda b: shard_batch(mesh, b)``); None transfers lazily at use.
+    ``size`` bounds the number of in-flight batches.
+    """
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=max(size, 1))
+    sentinel = object()
+    errors = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item if put is None else put(item))
+        except BaseException as e:  # surfaced on the consumer thread
+            errors.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 _SAMPLERS = {
     "PCRNet": lambda key, t: transforms.apply_pose7(
         transforms.random_pose7(key, t.shape[0]), t

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from learning3d_tpu.models.pooling import Pooling
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 
 
 def mish(x):
@@ -134,7 +135,8 @@ class PointNetMask2(nnx.Module):
 
 
 class MaskNet2(nnx.Module):
-    def __init__(self, feature_model=None, is_training: bool = True, *, dtype=None, rngs: nnx.Rngs):
+    def __init__(self, feature_model=None, is_training: bool = True, input_shape: str = "bnc", *, dtype=None, rngs: nnx.Rngs):
+        self.input_shape = validate_input_shape(input_shape)
         self.maskNet = PointNetMask2(feature_model, dtype=dtype, rngs=rngs)
         self.is_training = is_training
 
@@ -144,4 +146,6 @@ class MaskNet2(nnx.Module):
         Ragged binarized selection (reference masknet2.py:245-257, B=1
         eval) lives in models.masknet.select_by_threshold.
         """
+        template = to_bnc(template, self.input_shape)
+        source = to_bnc(source, self.input_shape)
         return self.maskNet(template, source)

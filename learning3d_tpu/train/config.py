@@ -19,6 +19,7 @@ class TrainConfig:
     batch_size: int = 32
     num_points: int = 1024
     noise: bool = False
+    augment: bool = False  # on-device train-time augmentation (classification)
 
     # optimization
     optimizer: str = "adam"  # adam | sgd
@@ -27,6 +28,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     epochs: int = 200
     cosine_decay: bool = False
+    label_smoothing: float = 0.0  # CurveNet/DGCNN cal_loss epsilon
 
     # checkpointing
     ckpt_dir: str = "checkpoints"

