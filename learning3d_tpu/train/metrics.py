@@ -33,6 +33,89 @@ def registration_errors(est_T, igt):
     return {"rot_deg": rot, "trans": trans}
 
 
+def summarize_registration(est_T, igt, template=None, n_rmse_points=100):
+    """Epoch-level registration summary in the reference's own metric
+    names and units.
+
+    Euler-angle Rot_MSE/Rot_RMSE/Rot_MAE/Rot_R2 and component-wise
+    Trans_* follow the PRNet log format
+    (/root/reference/pretrained/exp_prnet/log: "Rot_RMSE: 5.34 ...");
+    geodesic ``rot_deg`` / ``trans`` and the point-RMSE under est-vs-gt
+    transforms follow /root/reference/examples/test_deepgmr.py:36-52.
+
+    Args:
+      est_T: (B, 4, 4) estimated source->template transforms (stacked
+        over the whole eval set).
+      igt: (B, 4, 4) ground-truth template->source transforms.
+      template: optional (B, N, 3) template clouds for the point-RMSE
+        (first ``n_rmse_points`` points per cloud, like test_deepgmr).
+
+    Returns a dict of python floats.
+    """
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    est_T = np.asarray(est_T, np.float64).reshape(-1, 4, 4)
+    igt = np.asarray(igt, np.float64).reshape(-1, 4, 4)
+    R_pred, t_pred = est_T[:, :3, :3], est_T[:, :3, 3]
+    R_gt = np.transpose(igt[:, :3, :3], (0, 2, 1))
+    t_gt = -np.einsum("bij,bj->bi", R_gt, igt[:, :3, 3])
+
+    # Euler-angle metrics (zyx degrees — DCP/PRNet's npmat2euler convention)
+    e_pred = Rotation.from_matrix(R_pred).as_euler("zyx", degrees=True)
+    e_gt = Rotation.from_matrix(R_gt).as_euler("zyx", degrees=True)
+
+    def _mse_rmse_mae_r2(pred, gt):
+        err = pred - gt
+        mse = float(np.mean(err**2))
+        mae = float(np.mean(np.abs(err)))
+        ss_res = float(np.sum(err**2))
+        ss_tot = float(np.sum((gt - gt.mean(0)) ** 2))
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        return mse, float(np.sqrt(mse)), mae, r2
+
+    rot_mse, rot_rmse, rot_mae, rot_r2 = _mse_rmse_mae_r2(e_pred, e_gt)
+    tr_mse, tr_rmse, tr_mae, tr_r2 = _mse_rmse_mae_r2(t_pred, t_gt)
+
+    # Geodesic rotation error + translation norm (test_deepgmr.py:36-47)
+    tr = np.einsum("bii->b", np.einsum("bij,bkj->bik", R_pred, R_gt))
+    geo = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+
+    out = {
+        "Rot_MSE": rot_mse,
+        "Rot_RMSE": rot_rmse,
+        "Rot_MAE": rot_mae,
+        "Rot_R2": rot_r2,
+        "Trans_MSE": tr_mse,
+        "Trans_RMSE": tr_rmse,
+        "Trans_MAE": tr_mae,
+        "Trans_R2": tr_r2,
+        "rot_deg": float(np.mean(geo)),
+        "trans": float(np.mean(np.linalg.norm(t_pred - t_gt, axis=-1))),
+    }
+    if template is not None:
+        pts = np.asarray(template, np.float64)[:, :n_rmse_points, :3]
+        p_pred = np.einsum("bnj,bij->bni", pts, R_pred) + t_pred[:, None]
+        p_gt = np.einsum("bnj,bij->bni", pts, R_gt) + t_gt[:, None]
+        out["point_RMSE"] = float(
+            np.mean(np.linalg.norm(p_pred - p_gt, axis=-1))
+        )
+    return out
+
+
+def format_registration_summary(summary, stage="test"):
+    """PRNet-log-style one-liner (pretrained/exp_prnet/log format)."""
+    keys = [
+        "Rot_MSE", "Rot_RMSE", "Rot_MAE", "Rot_R2",
+        "Trans_MSE", "Trans_RMSE", "Trans_MAE", "Trans_R2",
+    ]
+    body = ", ".join(f"{k}: {summary[k]:.6f}" for k in keys if k in summary)
+    extra = ", ".join(
+        f"{k}: {summary[k]:.6f}" for k in ("rot_deg", "trans", "point_RMSE") if k in summary
+    )
+    return f"Stage: {stage}, {body}" + (f", {extra}" if extra else "")
+
+
 def point_rmse(transformed_source, template):
     """Per-item RMSE between aligned clouds (row-paired)."""
     return jnp.sqrt(jnp.mean(jnp.sum((transformed_source - template) ** 2, -1), -1))

@@ -37,6 +37,38 @@ class TestMetrics:
         a = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3))
         np.testing.assert_allclose(np.asarray(metrics.point_rmse(a, a)), 0.0, atol=1e-6)
 
+    def test_summarize_registration_exact(self):
+        """Exact estimates -> all errors 0, R2 -> 1 (reference metric
+        names from pretrained/exp_prnet/log)."""
+        g = se3.exp(0.4 * jax.random.normal(jax.random.PRNGKey(0), (6, 6)))
+        est = se3.inverse(g)
+        template = jax.random.normal(jax.random.PRNGKey(1), (6, 32, 3))
+        s = metrics.summarize_registration(est, g, template)
+        for k in ("Rot_MSE", "Rot_RMSE", "Rot_MAE", "Trans_MSE", "Trans_RMSE",
+                  "Trans_MAE", "rot_deg", "trans", "point_RMSE"):
+            assert abs(s[k]) < 1e-2, (k, s[k])
+        assert s["Rot_R2"] > 0.999 and s["Trans_R2"] > 0.999
+        line = metrics.format_registration_summary(s)
+        assert "Rot_RMSE" in line and "Trans_RMSE" in line
+
+    def test_summarize_registration_known_rotation(self):
+        """10-degree z-rotation vs identity gt: geodesic error 10 deg,
+        euler-space Rot_MSE = 100/3 (only the z euler angle is wrong)."""
+        ang = np.radians(10.0)
+        c, s_ = np.cos(ang), np.sin(ang)
+        est = np.broadcast_to(np.eye(4, dtype=np.float64), (3, 4, 4)).copy()
+        est[:, 0, 0] = c
+        est[:, 0, 1] = -s_
+        est[:, 1, 0] = s_
+        est[:, 1, 1] = c
+        igt = np.broadcast_to(np.eye(4, dtype=np.float64), (3, 4, 4)).copy()
+        s = metrics.summarize_registration(est, igt)
+        np.testing.assert_allclose(s["rot_deg"], 10.0, atol=1e-6)
+        np.testing.assert_allclose(s["Rot_MSE"], 100.0 / 3.0, atol=1e-6)
+        np.testing.assert_allclose(s["Rot_RMSE"], 10.0 / np.sqrt(3.0), atol=1e-6)
+        np.testing.assert_allclose(s["Rot_MAE"], 10.0 / 3.0, atol=1e-6)
+        np.testing.assert_allclose(s["Trans_RMSE"], 0.0, atol=1e-12)
+
 
 class TestApproxKNN:
     def test_high_recall(self):
