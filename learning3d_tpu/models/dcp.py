@@ -15,6 +15,7 @@ from flax import nnx
 
 from learning3d_tpu.ops import quaternion as quat
 from learning3d_tpu.ops import se3, transforms
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 from learning3d_tpu.utils.svd import SVDHead
 from learning3d_tpu.utils.transformer import Identity, Transformer
 
@@ -52,10 +53,12 @@ class DCP(nnx.Module):
         cycle: bool = False,
         pointer_: str = "transformer",
         head: str = "svd",
+        input_shape: str = "bnc",
         *,
         dtype=None,
         rngs: nnx.Rngs,
     ):
+        self.input_shape = validate_input_shape(input_shape)
         self.cycle = cycle
         self.emb_nn = feature_model
         if pointer_ == "identity":
@@ -76,6 +79,8 @@ class DCP(nnx.Module):
 
     def __call__(self, template, source):
         """template/source (B, N, 3) -> result dict; est_* maps source -> template."""
+        template = to_bnc(template, self.input_shape)
+        source = to_bnc(source, self.input_shape)
         src_emb = self.emb_nn(source)
         tgt_emb = self.emb_nn(template)
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from learning3d_tpu.ops import se3, transforms
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 
 
 def gmm_params(gamma, pts):
@@ -152,10 +153,12 @@ class DeepGMR(nnx.Module):
         nearest_neighbors: int = 20,
         d_model: int = 1024,
         n_clusters: int = 16,
+        input_shape: str = "bnc",
         *,
         dtype=None,
         rngs: nnx.Rngs,
     ):
+        self.input_shape = validate_input_shape(input_shape)
         self.use_rri = use_rri
         self.nearest_neighbors = nearest_neighbors
         self.backbone = feature_model or ClusterNet(
@@ -170,6 +173,8 @@ class DeepGMR(nnx.Module):
     def __call__(self, template, source):
         """Clouds are (B, N, 3) or (B, N, 3 + 4k) with RRI features
         appended (the dataloader contract, dataloaders.py:317-321)."""
+        template = to_bnc(template, self.input_shape)
+        source = to_bnc(source, self.input_shape)
         if self.use_rri:
             template_xyz, template_feats = template[..., :3], template[..., 3:]
             source_xyz, source_feats = source[..., :3], source[..., 3:]

@@ -16,6 +16,7 @@ from flax import nnx
 
 from learning3d_tpu.models.pooling import Pooling
 from learning3d_tpu.ops.geometry import index_points
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 
 
 class PointNetMask(nnx.Module):
@@ -50,7 +51,8 @@ class PointNetMask(nnx.Module):
 
 
 class MaskNet(nnx.Module):
-    def __init__(self, feature_model: nnx.Module, is_training: bool = True, *, dtype=None, rngs: nnx.Rngs):
+    def __init__(self, feature_model: nnx.Module, is_training: bool = True, input_shape: str = "bnc", *, dtype=None, rngs: nnx.Rngs):
+        self.input_shape = validate_input_shape(input_shape)
         emb = feature_model.emb_dims
         self.maskNet = PointNetMask(
             template_feature_size=emb, source_feature_size=emb,
@@ -65,6 +67,8 @@ class MaskNet(nnx.Module):
         training path). For the reference's ragged threshold evaluation use
         ``select_by_threshold``.
         """
+        template = to_bnc(template, self.input_shape)
+        source = to_bnc(source, self.input_shape)
         mask = self.maskNet(template, source)
         _, idx = jax.lax.top_k(mask, source.shape[1])
         masked_template = index_points(template, idx)

@@ -85,7 +85,9 @@ class PCN(nnx.Module):
         local = jnp.concatenate([grid_feat, center], axis=-1)  # (B, F, 5)
         # cast like nnx.Linear.__call__ would — using conv5.kernel
         # directly bypasses the module's compute-dtype promotion
-        dt = self.conv5.dtype or local.dtype
+        dt = self.conv5.dtype or jnp.promote_types(
+            local.dtype, self.conv5.kernel.value.dtype
+        )
         kern = self.conv5.kernel.value.astype(dt)
         h_local = local.astype(dt) @ kern[:5]
         h_glob = v.astype(dt) @ kern[5:] + self.conv5.bias.value.astype(dt)  # (B, 512)

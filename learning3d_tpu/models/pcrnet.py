@@ -15,6 +15,7 @@ from flax import nnx
 from learning3d_tpu.models.pooling import Pooling
 from learning3d_tpu.ops import quaternion as quat
 from learning3d_tpu.ops import se3
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 
 
 class iPCRNet(nnx.Module):
@@ -23,10 +24,12 @@ class iPCRNet(nnx.Module):
         feature_model: nnx.Module,
         droput: float = 0.0,  # (sic) reference keeps this spelling
         pooling: str = "max",
+        input_shape: str = "bnc",
         *,
         dtype=None,
         rngs: nnx.Rngs,
     ):
+        self.input_shape = validate_input_shape(input_shape)
         self.feature_model = feature_model
         self.pooling = Pooling(pooling)
         emb = feature_model.emb_dims
@@ -55,6 +58,8 @@ class iPCRNet(nnx.Module):
         return est_R, est_t, source, source_features
 
     def __call__(self, template, source, max_iteration: int = 8):
+        template = to_bnc(template, self.input_shape)
+        source = to_bnc(source, self.input_shape)
         B = template.shape[0]
         est_R = jnp.broadcast_to(jnp.eye(3, dtype=template.dtype), (B, 3, 3))
         est_t = jnp.zeros((B, 3), dtype=template.dtype)

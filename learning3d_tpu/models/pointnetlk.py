@@ -23,6 +23,7 @@ from flax import nnx
 
 from learning3d_tpu.models.pooling import Pooling
 from learning3d_tpu.ops import mean_shift, se3
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 
 
 class PointNetLK(nnx.Module):
@@ -36,11 +37,13 @@ class PointNetLK(nnx.Module):
         p1_zero_mean: bool = True,
         pooling: str = "max",
         damping: float = 1e-6,
+        input_shape: str = "bnc",
     ):
         # damping: Tikhonov term on J^T J. The reference instead catches the
         # singular-matrix RuntimeError and returns identity
         # (pointnetlk.py:138-156); a tiny damping keeps the solve finite
         # without the data-dependent control flow.
+        self.input_shape = validate_input_shape(input_shape)
         self.feature_model = feature_model
         self.pooling = Pooling(pooling)
         dt = jnp.full((1, 6), delta, dtype=jnp.float32)
@@ -73,6 +76,8 @@ class PointNetLK(nnx.Module):
         return jnp.linalg.solve(H, Jt)  # (B, 6, K)
 
     def __call__(self, template, source, maxiter: int = 10):
+        template = to_bnc(template, self.input_shape)
+        source = to_bnc(source, self.input_shape)
         if self.p0_zero_mean or self.p1_zero_mean:
             t0, s0, a0, a1 = mean_shift.mean_shift(template, source)
             if not self.p0_zero_mean:

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
+
 from learning3d_tpu.ops.grouping import sample_and_group_multi
 
 _RAW_SIZES = {"xyz": 3, "dxyz": 3, "ppf": 4}
@@ -35,10 +37,12 @@ class PPFNet(nnx.Module):
         emb_dims: int = 96,
         radius: float = 0.3,
         num_neighbors: int = 64,
+        input_shape: str = "bnc",
         *,
         dtype=None,
         rngs: nnx.Rngs,
     ):
+        self.input_shape = validate_input_shape(input_shape)
         self.emb_dims = emb_dims
         self.radius = radius
         self.n_sample = num_neighbors
@@ -58,6 +62,8 @@ class PPFNet(nnx.Module):
 
     def __call__(self, xyz, normals):
         """xyz, normals (B, N, 3) -> (B, N, emb_dims) unit features."""
+        xyz = to_bnc(xyz, self.input_shape)
+        normals = to_bnc(normals, self.input_shape)
         feats = sample_and_group_multi(-1, self.radius, self.n_sample, xyz, normals)
         feats["xyz"] = jnp.broadcast_to(
             feats["xyz"][:, :, None, :], feats["dxyz"].shape

@@ -24,6 +24,7 @@ from learning3d_tpu.ops import se3, transforms
 from learning3d_tpu.ops.geometry import index_points, knn
 from learning3d_tpu.utils.svd import procrustes_from_correspondence
 from learning3d_tpu.utils.transformer import Identity, Transformer
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 
 
 def cycle_consistency(R_ab, t_ab, R_ba, t_ba):
@@ -91,7 +92,10 @@ class PRDGCNN(nnx.Module):
             # directly bypasses the module's compute-dtype promotion and
             # would silently run every matmul (and everything downstream)
             # in f32
-            dt = conv.dtype or h.dtype
+            # match nnx.Linear's promote_dtype semantics: with
+            # dtype=None the compute dtype is the promotion of the input
+            # and kernel dtypes (an f32 kernel keeps bf16 inputs in f32)
+            dt = conv.dtype or jnp.promote_types(h.dtype, conv.kernel.value.dtype)
             hd = h.astype(dt)
             kern = conv.kernel.value.astype(dt)
             zn = hd @ kern[:C]  # neighbor term (B, N, Co)
@@ -217,7 +221,7 @@ class PRNet(nnx.Module):
         self.discount_factor = discount_factor
         self.feature_alignment_loss = feature_alignment_loss
         self.cycle_consistency_loss = cycle_consistency_loss
-        self.input_shape = input_shape
+        self.input_shape = validate_input_shape(input_shape)
 
         if emb_nn == "pointnet":
             self.emb_nn = PRPointNet(emb_dims, dtype=dtype, rngs=rngs)
@@ -265,6 +269,8 @@ class PRNet(nnx.Module):
         """source/template (B, N, 3) ('bnc'); pass igt (B, 4, 4) (or an
         (R, t) tuple) to also get the reference's internal discounted
         training loss in result['loss'] (prnet.py:349-375)."""
+        source = to_bnc(source, self.input_shape)
+        template = to_bnc(template, self.input_shape)
         src, tgt = source, template
         calculate_loss = igt is not None
         if calculate_loss:

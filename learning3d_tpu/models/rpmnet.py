@@ -15,6 +15,7 @@ from flax import nnx
 
 from learning3d_tpu.models.ppfnet import PPFNet, _ConvGN
 from learning3d_tpu.ops.geometry import square_distance
+from learning3d_tpu.utils.layers import to_bnc, validate_input_shape
 from learning3d_tpu.utils.rigid import se3_transform_34, sinkhorn_log, weighted_kabsch
 
 _EPS = 1e-5
@@ -60,7 +61,8 @@ def match_features(feat_src, feat_ref):
 
 
 class RPMNet(nnx.Module):
-    def __init__(self, feature_model: nnx.Module | None = None, *, dtype=None, rngs: nnx.Rngs):
+    def __init__(self, feature_model: nnx.Module | None = None, input_shape: str = "bnc", *, dtype=None, rngs: nnx.Rngs):
+        self.input_shape = validate_input_shape(input_shape)
         self.add_slack = True
         self.num_sk_iter = 5
         self.weights_net = ParameterPredictionNet((0,), dtype=dtype, rngs=rngs)
@@ -89,6 +91,8 @@ class RPMNet(nnx.Module):
         return weighted_template, perm, affinity, beta, alpha, feat_template - feat_source
 
     def __call__(self, template, source, max_iterations: int = 1):
+        template = to_bnc(template, self.input_shape)
+        source = to_bnc(source, self.input_shape)
         xyz_template, norm_template = self.split_normals(template)
         xyz_source, norm_source = self.split_normals(source)
         xyz_source_t, norm_source_t = xyz_source, norm_source

@@ -177,3 +177,34 @@ def qfix(q):
     flips = jnp.cumprod(jnp.where(dots < 0, -1.0, 1.0), axis=0)
     signs = jnp.concatenate([jnp.ones_like(flips[:1]), flips], axis=0)
     return q * signs[..., None]
+
+
+# -- numpy twins (reference ops/quaternion.py:103-125 wraps the torch
+# implementations for numpy callers; here the jnp versions accept numpy
+# inputs directly, so the twins just materialize the result on host) -----
+
+
+def _np(fn, *args, **kw):
+    import numpy as np
+
+    return np.asarray(fn(*args, **kw))
+
+
+def qmul_np(q, r):
+    return _np(qmul, q, r)
+
+
+def qrot_np(q, v):
+    return _np(qrot, q, v)
+
+
+def qeuler_np(q, order="zyx", use_gpu=False):  # use_gpu kept for API parity
+    return _np(qeuler, q, order)
+
+
+def qfix_np(q):
+    return _np(qfix, q)
+
+
+def expmap_to_quaternion_np(e):
+    return _np(axis_angle_to_quat, e)

@@ -15,6 +15,20 @@ import jax.numpy as jnp
 from flax import nnx
 
 
+def validate_input_shape(input_shape: str) -> str:
+    """The reference's encoder convention (models/pointnet.py:12-13):
+    every model accepts input_shape='bnc'|'bcn' and rejects anything else."""
+    if input_shape not in ("bnc", "bcn"):
+        raise ValueError("Allowed shapes are 'bcn' and 'bnc'.")
+    return input_shape
+
+
+def to_bnc(x, input_shape: str):
+    """Convert a point cloud / feature tensor to the framework's
+    channel-last (B, N, C) layout."""
+    return jnp.swapaxes(x, 1, 2) if input_shape == "bcn" else x
+
+
 class MLP1d(nnx.Module):
     """Stack of per-point Linear(+Norm)(+activation) over (..., C) inputs.
 
