@@ -19,9 +19,13 @@ import jax
 
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
     """Wire this process into the jax.distributed runtime. No-op when the
-    runtime is already initialized or when running single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    runtime is already initialized; explicit coordinator failures raise.
+
+    Must run before anything initializes the backend — even
+    ``jax.process_count()`` counts, so don't probe devices first.
+    """
+    if jax.distributed.is_initialized():
+        return
     try:
         if coordinator_address is not None:
             jax.distributed.initialize(
@@ -32,7 +36,9 @@ def initialize_multihost(coordinator_address=None, num_processes=None, process_i
         else:
             jax.distributed.initialize()  # auto-detect (TPU pod metadata)
     except (ValueError, RuntimeError):
-        pass  # single-process / no coordinator: stay local
+        if coordinator_address is not None:
+            raise  # an explicit coordinator that fails is an error
+        # auto-detect found no cluster env: stay single-process
 
 
 def global_mesh(axes=("data", "model"), model_parallel=1):
@@ -41,7 +47,11 @@ def global_mesh(axes=("data", "model"), model_parallel=1):
     from learning3d_tpu.parallel.mesh import make_mesh
 
     n = len(jax.devices())
-    return make_mesh(axes, (n // model_parallel, model_parallel))
+    if len(axes) == 1:
+        shape = (n,)
+    else:
+        shape = (n // model_parallel, model_parallel) + (1,) * (len(axes) - 2)
+    return make_mesh(axes, shape)
 
 
 def is_primary():
