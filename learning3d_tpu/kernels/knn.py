@@ -133,8 +133,11 @@ def _knn_kernel(q_ref, p_ref, di_ref, ii_ref, *, k, n_valid):
 def knn_pallas(queries, points, k, tile_s=256):
     """Exact k nearest neighbors of each query among ``points``.
 
-    queries (B, S, 3), points (B, N, 3) -> (sq_dist (B, S, k) f32,
-    idx (B, S, k) int32), nearest first, ties toward the smaller index.
+    queries (B, S, C), points (B, N, C), C <= 256 -> (sq_dist (B, S, k)
+    f32, idx (B, S, k) int32), nearest first, ties toward the smaller
+    index. C == 3 computes exact per-coordinate differences (coincident
+    points give d == 0 exactly); C > 3 uses the matmul expansion
+    |q|^2 - 2 q.p + |p|^2 on the MXU at HIGHEST precision.
     """
     B, N, C = points.shape
     S = queries.shape[1]

@@ -141,23 +141,33 @@ def set_conv(lin, view: _View, name: str):
         lin.bias[...] = jnp.asarray(view.get(f"{name}.bias"))
 
 
+def _set_exact(var, value, what: str):
+    """Assign with an explicit shape check (like _set_kernel) so a
+    broadcast-compatible mismatch from a wrong checkpoint raises instead
+    of installing silently."""
+    value = jnp.asarray(value)
+    if tuple(var.shape) != tuple(value.shape):
+        raise ValueError(f"shape mismatch for {what}: {value.shape} vs {var.shape}")
+    var[...] = value
+
+
 def set_bn(bn, view: _View, name: str):
-    bn.scale[...] = jnp.asarray(view.get(f"{name}.weight"))
-    bn.bias[...] = jnp.asarray(view.get(f"{name}.bias"))
-    bn.mean[...] = jnp.asarray(view.get(f"{name}.running_mean"))
-    bn.var[...] = jnp.asarray(view.get(f"{name}.running_var"))
+    _set_exact(bn.scale, view.get(f"{name}.weight"), f"{name}.weight")
+    _set_exact(bn.bias, view.get(f"{name}.bias"), f"{name}.bias")
+    _set_exact(bn.mean, view.get(f"{name}.running_mean"), f"{name}.running_mean")
+    _set_exact(bn.var, view.get(f"{name}.running_var"), f"{name}.running_var")
     view.mark(f"{name}.num_batches_tracked")
 
 
 def set_gn(gn, view: _View, name: str):
-    gn.scale[...] = jnp.asarray(view.get(f"{name}.weight"))
-    gn.bias[...] = jnp.asarray(view.get(f"{name}.bias"))
+    _set_exact(gn.scale, view.get(f"{name}.weight"), f"{name}.weight")
+    _set_exact(gn.bias, view.get(f"{name}.bias"), f"{name}.bias")
 
 
 def set_ln(ln, view: _View, name: str):
     """Reference transformer LayerNorm (a_2/b_2)."""
-    ln.a[...] = jnp.asarray(view.get(f"{name}.a_2"))
-    ln.b[...] = jnp.asarray(view.get(f"{name}.b_2"))
+    _set_exact(ln.a, view.get(f"{name}.a_2"), f"{name}.a_2")
+    _set_exact(ln.b, view.get(f"{name}.b_2"), f"{name}.b_2")
 
 
 def _seq_children(view: _View, name: str):
