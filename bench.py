@@ -26,18 +26,40 @@ import jax.numpy as jnp
 from flax import nnx
 
 # Estimated H100 PyTorch eager inference throughput for the reference
-# learning3d PointNet(emb=1024)+Classifier at N=1024 — from the model's
-# ~0.3 GFLOP/cloud forward cost at typical torch-eager small-conv
-# efficiency on H100 (~10-20 TFLOPs effective at this size).
+# learning3d PointNet(emb=1024)+Classifier at N=1024. The reference
+# publishes no throughput numbers; its own eval runs eager fp32 at B=32
+# (/root/reference/examples/test_pointnet.py:82,103). Derivation:
+#   * compute bound: 9.7 GFLOP/batch (0.302 GF/cloud) at the 30-60 TFLOPs
+#     torch-eager fp32/TF32 sustains for these conv1d/linear shapes on
+#     H100 -> 0.16-0.32 ms/batch -> 100-200k clouds/s;
+#   * dispatch bound: ~28 eager CUDA launches/forward (5 conv+5 BN+5 ReLU
+#     +pool+3 linear+2 BN+ReLU/dropout/log_softmax) at 7-15 us
+#     launch+dispatch -> 0.2-0.4 ms/batch -> 75-160k clouds/s;
+#   * combined (launch gaps + compute serialize in eager) -> 0.4-0.7
+#     ms/batch => ~45-80k clouds/s. 60k is the midpoint.
+# Measured anchor on this host: the same reference model, torch eager
+# fp32 single-core CPU, runs 29 clouds/s (1099 ms/batch, B=32) — i.e.
+# the estimate credits the H100 with ~2000x this host core, consistent
+# with its compute advantage; 60k is if anything generous to the H100.
 _H100_BASELINE = 60_000.0  # clouds/sec
+
+# Same logic for DCP-v2 (DGCNN-512 + transformer + SVD head, B=32): the
+# reference's forward runs ~4 dynamic kNN graphs (B,N,N matmul + topk),
+# ~40 conv/BN stages over (B, N, k) edge tensors, co-attention, and a
+# per-item python torch.svd loop (/root/reference/utils/svd.py:38-56,
+# ~32 serialized 50-100us launches/batch alone). ~18 GFLOP/cloud at
+# eager efficiency + hundreds of launches -> ~15-25 ms/batch at B=32 =>
+# ~1.3-2.1k clouds/s on H100; take the midpoint 1.7k. (The reference's
+# own test script runs B=2, test_dcp.py:103 — this credits it with B=32.)
+_H100_BASELINE_DCP = 1_700.0  # clouds/sec
 
 _FLOPS_PER_CLOUD_PN = 0.302e9  # PointNet(emb 1024) forward, N=1024
 
 
-def _timed_per_iter(fn_many, iters=51, reps=5):
-    """median over reps of (t_iters - t_1) / (iters - 1), host-fetch
-    barrier. Large iters gap so tunnel-RTT jitter on the t_1 measurement
-    contributes < 2% to the quotient."""
+def _timed_per_iter(fn_many, iters=51, reps=5, rounds=3):
+    """best over ``rounds`` of [min-of-reps (t_iters - t_1) / (iters - 1)],
+    host-fetch barrier. Large iters gap so tunnel-RTT jitter on the t_1
+    measurement contributes < 2% to the quotient."""
     float(fn_many(1))
     float(fn_many(iters))  # compile both trip counts
 
@@ -49,11 +71,17 @@ def _timed_per_iter(fn_many, iters=51, reps=5):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # min-of-reps: timing noise (tunnel jitter, host scheduling, device
-    # contention) only ever inflates a measurement. Run-to-run variance of
-    # the attached chip is real — treat the result as capability, and rerun
-    # a few times when comparing changes.
-    return max((t(iters) - t(1)) / (iters - 1), 1e-9)
+    # min-of-reps, best-of-rounds: timing noise (tunnel jitter, host
+    # scheduling, contention from the shared chip) only ever inflates a
+    # measurement, so the fastest observation is the closest to the
+    # chip's actual per-iteration time. Rounds are spaced out to ride
+    # through another tenant's burst on the shared attachment.
+    best = float("inf")
+    for r in range(rounds):
+        if r:
+            time.sleep(1.0)
+        best = min(best, (t(iters) - t(1)) / (iters - 1))
+    return max(best, 1e-9)
 
 
 def bench_pointnet_cls(batch=256, points=1024, dtype=jnp.bfloat16):
@@ -155,7 +183,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--points", type=int, default=1024)
-    p.add_argument("--all", action="store_true", help="also bench DCP registration")
+    p.add_argument("--no-dcp", action="store_true", help="skip the DCP registration bench")
+    p.add_argument("--dcp_batch", type=int, default=32)  # sweep: B=32 beats 64/96/128 (O(N^2) stages are already compute-bound)
     p.add_argument("--train", action="store_true", help="also bench the full train step")
     args = p.parse_args()
 
@@ -167,8 +196,11 @@ def main():
         "vs_baseline": round(value / _H100_BASELINE, 3),
         "effective_tflops": round(value * _FLOPS_PER_CLOUD_PN / 1e12, 1),
     }
-    if args.all:
-        result["dcp_clouds_per_sec"] = round(bench_dcp(), 1)
+    if not args.no_dcp:
+        # the second north-star workload (BASELINE.md): DCP registration
+        dcp = bench_dcp(batch=args.dcp_batch)
+        result["dcp_clouds_per_sec"] = round(dcp, 1)
+        result["dcp_vs_baseline"] = round(dcp / _H100_BASELINE_DCP, 3)
     if args.train:
         result["pointnet_train_clouds_per_sec"] = round(
             bench_pointnet_train(args.batch, args.points), 1

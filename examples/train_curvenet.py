@@ -9,7 +9,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from train import main
 
 if __name__ == "__main__":
-    defaults = {'--model': 'curvenet', '--task': 'classification', '--optimizer': 'sgd'}
+    # the original CurveNet recipe: SGD(0.1, wd=1e-4) + cosine + label
+    # smoothing 0.2 + augmentation (reference pretrained/exp_curvenet/
+    # run.log:1 — lr=0.001 with use_sgd means lr*100 in the DGCNN-style
+    # trainer; loss 2.55 at 52% acc implies smoothed CE)
+    defaults = {
+        '--model': 'curvenet', '--task': 'classification', '--optimizer': 'sgd',
+        '--lr': '0.1', '--weight_decay': '1e-4', '--label_smoothing': '0.2',
+    }
+    for flag in ('--cosine', '--augment'):
+        if flag not in sys.argv:
+            sys.argv.append(flag)
     for flag, value in defaults.items():
         if flag not in " ".join(sys.argv[1:]):
             sys.argv.extend([flag, value])
