@@ -26,7 +26,12 @@ class Classifier(nnx.Module):
         self.pooling = Pooling("max")
 
     def __call__(self, input_data):
-        x = self.pooling(self.feature_model(input_data))
+        if hasattr(self.feature_model, "pooled_features"):
+            # fused BN+ReLU+max-pool tail (identical math; see
+            # utils.layers.fused_bn_relu_maxpool)
+            x = self.feature_model.pooled_features(input_data)
+        else:
+            x = self.pooling(self.feature_model(input_data))
         x = self.dropout1(jax.nn.relu(self.bn1(self.linear1(x))))
         x = self.dropout2(jax.nn.relu(self.bn2(self.linear2(x))))
         return self.linear3(x)

@@ -40,8 +40,13 @@ class iPCRNet(nnx.Module):
         self.dropout = nnx.Dropout(droput, rngs=rngs) if droput > 0.0 else None
         self.head = nnx.Linear(256, 7, dtype=dtype, rngs=rngs)
 
+    def _pool_feat(self, points):
+        if self.pooling.pool_type == "max" and hasattr(self.feature_model, "pooled_features"):
+            return self.feature_model.pooled_features(points)
+        return self.pooling(self.feature_model(points))
+
     def _spam(self, template_features, source, est_R, est_t):
-        source_features = self.pooling(self.feature_model(source))
+        source_features = self._pool_feat(source)
         y = jnp.concatenate([template_features, source_features], axis=-1)
         for lin in self.linears:
             y = jax.nn.relu(lin(y))
@@ -63,7 +68,7 @@ class iPCRNet(nnx.Module):
         B = template.shape[0]
         est_R = jnp.broadcast_to(jnp.eye(3, dtype=template.dtype), (B, 3, 3))
         est_t = jnp.zeros((B, 3), dtype=template.dtype)
-        template_features = self.pooling(self.feature_model(template))
+        template_features = self._pool_feat(template)
 
         source_features = None
         for _ in range(max_iteration):

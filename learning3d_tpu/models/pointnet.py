@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from learning3d_tpu.models.pooling import Pooling
+from learning3d_tpu.utils.layers import fused_bn_relu_maxpool
 
 
 class PointNet(nnx.Module):
@@ -80,3 +81,28 @@ class PointNet(nnx.Module):
         g = self.pooling(x)  # (B, emb)
         g = jnp.broadcast_to(g[:, None, :], (x.shape[0], x.shape[1], self.emb_dims))
         return jnp.concatenate([g, point_feature], axis=-1)
+
+    def pooled_features(self, input_data, use_running_average=None):
+        """Max-pooled global feature (B, emb_dims) with the last-stage
+        BN+ReLU+max-pool fused (utils.layers.fused_bn_relu_maxpool) —
+        identical values and gradients to
+        ``max(relu(bn(conv(x))), axis=-2)`` but without materializing the
+        normalized (B, N, emb) tensor, which is the train step's traffic
+        bottleneck. Heads that max-pool this encoder (Classifier,
+        PointNetLK, iPCRNet) route through here."""
+        if not self.global_feat:
+            raise ValueError("pooled_features requires global_feat=True")
+        x = input_data
+        if self.input_shape == "bcn":
+            x = jnp.swapaxes(x, 1, 2)
+        if x.shape[-1] not in (3, self.convs[0].in_features):
+            raise RuntimeError("expected 3-channel point clouds")
+        for conv, bn in zip(self.convs[:-1], self.bns[:-1]):
+            x = conv(x)
+            if bn is not None:
+                x = bn(x, use_running_average=use_running_average)
+            x = jax.nn.relu(x)
+        z = self.convs[-1](x)
+        if self.bns[-1] is not None:
+            return fused_bn_relu_maxpool(z, self.bns[-1], use_running_average)
+        return jnp.max(jax.nn.relu(z), axis=-2)

@@ -55,6 +55,8 @@ class PointNetLK(nnx.Module):
 
     def _embed(self, points, frozen=True):
         ura = True if frozen else None
+        if self.pooling.pool_type == "max" and hasattr(self.feature_model, "pooled_features"):
+            return self.feature_model.pooled_features(points, use_running_average=ura)
         return self.pooling(self.feature_model(points, use_running_average=ura))
 
     def _approx_jac(self, template, template_features):

@@ -29,6 +29,49 @@ def to_bnc(x, input_shape: str):
     return jnp.swapaxes(x, 1, 2) if input_shape == "bcn" else x
 
 
+def fused_bn_relu_maxpool(z, bn, use_running_average=None):
+    """max over the points axis of ``relu(bn(z))`` for (B, N, C) inputs
+    WITHOUT materializing the normalized (B, N, C) tensor.
+
+    BatchNorm in this position is a per-channel affine s*z + b and relu is
+    monotone, so max_n relu(s*z_n + b) = relu(s * sel + b) where sel is the
+    per-channel max of z when s >= 0 and min when s < 0 — the same element
+    is selected, so values AND gradients match the naive chain. The batch
+    stats and the max/min reduce in one fused pass over the activation;
+    the affine + relu run on the pooled (B, C) values only. This removes
+    the normalize+relu passes over the largest activation of the train
+    step (the profiled bottleneck: BN traffic over the (B*N, emb) conv
+    output, tools/profile_train.py).
+
+    Semantics mirror flax nnx.BatchNorm exactly: f32 fast-variance stats
+    with negative clipping, (1 - momentum) running-stat updates under
+    stop_gradient.
+    """
+    ura = bn.use_running_average if use_running_average is None else use_running_average
+    red = tuple(range(z.ndim - 1))
+    scale, bias = bn.scale[...], bn.bias[...]
+    z_p, mean, var, scale, bias = bn.promote_dtype(
+        (z, bn.mean[...], bn.var[...], scale, bias), dtype=bn.dtype
+    )
+    if not ura:
+        zf = z_p.astype(jnp.float32)
+        mean = jnp.mean(zf, axis=red)
+        if bn.use_fast_variance:
+            var = jnp.maximum(jnp.mean(zf * zf, axis=red) - mean * mean, 0.0)
+        else:
+            var = jnp.mean(jnp.square(zf - mean), axis=red)
+        bn.mean[...] = jax.lax.stop_gradient(
+            bn.momentum * bn.mean[...] + (1 - bn.momentum) * mean
+        )
+        bn.var[...] = jax.lax.stop_gradient(
+            bn.momentum * bn.var[...] + (1 - bn.momentum) * var
+        )
+    s = scale * jax.lax.rsqrt(var.astype(scale.dtype) + bn.epsilon)
+    b = bias - mean.astype(scale.dtype) * s
+    sel = jnp.where(s >= 0, jnp.max(z_p, axis=-2), jnp.min(z_p, axis=-2))
+    return jax.nn.relu(s * sel + b).astype(z_p.dtype)
+
+
 class MLP1d(nnx.Module):
     """Stack of per-point Linear(+Norm)(+activation) over (..., C) inputs.
 
