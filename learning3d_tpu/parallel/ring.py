@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from learning3d_tpu.ops.geometry import square_distance
 
@@ -25,16 +25,18 @@ def _ring_perm(n):
     return [(i, (i + 1) % n) for i in range(n)]
 
 
-def ring_knn(points, k, mesh, axis="model"):
+def ring_knn(points, k, mesh, axis="model", batch_axis=None):
     """Exact self-kNN of (B, N, C) with N sharded over ``axis``.
 
     Returns (sq_dists (B, N, k), global idx (B, N, k)), both sharded the
-    same way as the input. k must be <= N/d.
+    same way as the input. k must be <= N/d. Pass ``batch_axis`` when the
+    batch dim is also mesh-sharded (DP x ring) so no resharding happens
+    at the shard_map boundary.
     """
     d = mesh.shape[axis]
     N = points.shape[1]
     chunk = N // d
-    spec = P(None, axis, None)
+    spec = P(batch_axis, axis, None)
 
     def local_fn(x_loc):
         my = jax.lax.axis_index(axis)
@@ -60,18 +62,21 @@ def ring_knn(points, k, mesh, axis="model"):
                 src = (src - 1) % d
         return best_d, best_i
 
+    out2 = P(*spec[:2], None)
     fn = shard_map(
-        local_fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec), check_rep=False
+        local_fn, mesh=mesh, in_specs=(spec,),
+        out_specs=(out2, out2), check_vma=False,
     )
     return fn(points)
 
 
-def ring_chamfer(x, y, mesh, axis="model"):
+def ring_chamfer(x, y, mesh, axis="model", batch_axis=None):
     """Exact two-sided Chamfer min-distances with both clouds' point axes
-    sharded over ``axis``. Returns (d1 (B, N), d2 (B, M)) sharded."""
+    sharded over ``axis``. Returns (d1 (B, N), d2 (B, M)) sharded.
+    ``batch_axis`` keeps an existing DP sharding of the batch dim."""
     d = mesh.shape[axis]
-    spec3 = P(None, axis, None)
-    spec2 = P(None, axis)
+    spec3 = P(batch_axis, axis, None)
+    spec2 = P(batch_axis, axis)
 
     def oneway(a_loc, b_loc):
         best = jnp.full(a_loc.shape[:2], jnp.inf, a_loc.dtype)
@@ -88,7 +93,7 @@ def ring_chamfer(x, y, mesh, axis="model"):
 
     fn = shard_map(
         local_fn, mesh=mesh, in_specs=(spec3, spec3), out_specs=(spec2, spec2),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x, y)
 
@@ -102,6 +107,6 @@ def sharded_square_distance(x, y, mesh, axis="model"):
 
     fn = shard_map(
         lambda a, b: square_distance(a, b),
-        mesh=mesh, in_specs=(spec_x, spec_y), out_specs=spec_o, check_rep=False,
+        mesh=mesh, in_specs=(spec_x, spec_y), out_specs=spec_o, check_vma=False,
     )
     return fn(x, y)
