@@ -81,7 +81,13 @@ def build_dataset(args, train):
         print(f"[data] ModelNet40 unavailable ({e}); using SyntheticModelNet40")
         base = SyntheticModelNet40(train=train, num_points=args.num_points)
 
-    if args.task in ("classification", "segmentation", "pcn"):
+    if args.task == "segmentation":
+        from learning3d_tpu.data import SegmentationData, SyntheticPartSegmentation
+
+        return SegmentationData(
+            SyntheticPartSegmentation(train=train, num_points=args.num_points)
+        )
+    if args.task in ("classification", "pcn"):
         return ClassificationData(base)
     if args.task == "flow":
         ds = SceneflowDataset(npoints=args.num_points, partition="train" if train else "test")

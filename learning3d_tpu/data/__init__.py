@@ -11,6 +11,7 @@ from learning3d_tpu.data.dataloaders import (  # noqa: F401
     RegistrationData,
     SceneflowDataset,
     SegmentationData,
+    SyntheticPartSegmentation,
     SyntheticModelNet40,
     SyntheticSceneflow,
     deg_to_rad,

@@ -378,15 +378,70 @@ class RegistrationData:
         return template, source, igt
 
 
-class SegmentationData:
-    """Reference stub (dataloaders.py:333-346) — kept for API parity;
-    wrap a part-segmentation dataset via UserData instead."""
+class SyntheticPartSegmentation:
+    """Procedural part-segmentation set (the reference's SegmentationData
+    is an all-``pass`` stub, dataloaders.py:333-346 — there is no shipped
+    seg dataset to mirror). Each item is a shape assembled from 2-4
+    primitive parts stacked/offset in space with per-point part labels:
+    (points (N, 3) f32, seg (N,) int32). Deterministic per index."""
+
+    def __init__(self, train=True, num_points=1024, size=512, num_parts=4, seed=0):
+        self.num_points = num_points
+        self.size = size
+        self.num_parts = num_parts
+        self.seed = seed + (0 if train else 1_000_003)
 
     def __len__(self):
-        return 0
+        return self.size
 
     def __getitem__(self, idx):
-        raise NotImplementedError("provide segmentation data via UserData")
+        rng = np.random.default_rng(self.seed * 2654435761 + idx)
+        k = int(rng.integers(2, self.num_parts + 1))
+        counts = np.full(k, self.num_points // k)
+        counts[: self.num_points - counts.sum()] += 1
+        pts, labels = [], []
+        for part in range(k):
+            n = counts[part]
+            u, v = rng.random(n, np.float32), rng.random(n, np.float32)
+            kind = part % 3
+            if kind == 0:  # sphere
+                th, ph = 2 * np.pi * u, np.arccos(2 * v - 1)
+                p = 0.4 * np.stack(
+                    [np.sin(ph) * np.cos(th), np.sin(ph) * np.sin(th), np.cos(ph)], -1
+                )
+            elif kind == 1:  # cylinder
+                th = 2 * np.pi * u
+                p = np.stack([0.25 * np.cos(th), 0.25 * np.sin(th), 0.6 * (v - 0.5)], -1)
+            else:  # box
+                face = rng.integers(0, 6, n)
+                p = rng.random((n, 3), np.float32) * 0.6 - 0.3
+                p[np.arange(n), face % 3] = np.where(face < 3, 0.3, -0.3)
+            p = p + np.array([0.0, 0.0, 0.9 * part - 0.45 * (k - 1)], np.float32)
+            pts.append(p.astype(np.float32))
+            labels.append(np.full(n, part, np.int32))
+        pts = np.concatenate(pts)
+        labels = np.concatenate(labels)
+        pts += 0.01 * rng.standard_normal(pts.shape).astype(np.float32)
+        pts -= pts.mean(0, keepdims=True)
+        pts /= np.abs(pts).max() + 1e-6
+        order = rng.permutation(self.num_points)
+        return pts[order], labels[order]
+
+
+class SegmentationData:
+    """Per-point-labeled dataset wrapper (the reference's version is an
+    all-``pass`` stub, dataloaders.py:333-346; this one works). Expects a
+    data_class yielding (points (N, 3), seg_labels (N,)); defaults to
+    SyntheticPartSegmentation."""
+
+    def __init__(self, data_class=None):
+        self.data_class = data_class if data_class is not None else SyntheticPartSegmentation()
+
+    def __len__(self):
+        return len(self.data_class)
+
+    def __getitem__(self, idx):
+        return self.data_class[idx]
 
 
 class FlowData:
