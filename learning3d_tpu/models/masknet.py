@@ -40,9 +40,12 @@ class PointNetMask(nnx.Module):
 
     def __call__(self, template, source):
         """-> per-template-point inlier probability (B, N_t)."""
-        source_features = self.feature_model(source)  # (B, N, C)
         template_features = self.feature_model(template)
-        g = self.pooling(source_features)  # (B, C)
+        if hasattr(self.feature_model, "pooled_features"):
+            # only the POOLED source features are used — fused tail
+            g = self.feature_model.pooled_features(source)  # (B, C)
+        else:
+            g = self.pooling(self.feature_model(source))
         g = jnp.broadcast_to(g[:, None, :], template_features.shape[:2] + g.shape[-1:])
         x = jnp.concatenate([template_features, g], axis=-1)
         for lin in self.h3:
