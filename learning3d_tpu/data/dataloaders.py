@@ -445,13 +445,24 @@ class SegmentationData:
 
 
 class FlowData:
-    """Reference stub (dataloaders.py:349-361) — see SceneflowDataset."""
+    """Scene-flow dataset wrapper (the reference's version is an all-pass
+    stub, dataloaders.py:349-361; this one works). Wraps any data_class
+    yielding (pos1, pos2, color1, color2, flow, mask1) items — i.e.
+    SceneflowDataset / SyntheticSceneflow — defaulting to SceneflowDataset
+    with a synthetic fallback when the npz archive is absent."""
+
+    def __init__(self, data_class=None, npoints=1024, partition="train"):
+        if data_class is None:
+            data_class = SceneflowDataset(npoints=npoints, partition=partition)
+            if len(data_class) == 0:
+                data_class = SyntheticSceneflow(npoints=npoints)
+        self.data_class = data_class
 
     def __len__(self):
-        return 0
+        return len(self.data_class)
 
     def __getitem__(self, idx):
-        raise NotImplementedError("use SceneflowDataset or UserData")
+        return self.data_class[idx]
 
 
 class SyntheticSceneflow:

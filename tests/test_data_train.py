@@ -335,3 +335,12 @@ class TestSegmentation:
         model.eval()
         _, aux = tr.evaluate(ds)
         assert aux["accuracy"] > 0.6, aux  # parts are spatially separable
+
+
+def test_flowdata_wrapper():
+    from learning3d_tpu.data import FlowData, SyntheticSceneflow
+
+    ds = FlowData(SyntheticSceneflow(npoints=32))
+    assert len(ds) > 0
+    pos1, pos2, c1, c2, flow, mask = ds[0]
+    assert pos1.shape == (32, 3) and flow.shape == (32, 3) and mask.shape == (32,)
