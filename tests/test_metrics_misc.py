@@ -119,3 +119,32 @@ class TestProfiling:
         m.update(32)
         assert m.clouds_per_sec > 0
         assert m.ms_per_step > 0
+
+
+class TestEvaluateRegistration:
+    def test_evaluate_registration_summary(self):
+        """examples/evaluate.py's registration aggregation end-to-end on
+        the CPU mesh: tiny iPCRNet over synthetic pairs -> PRNet-format
+        summary dict with finite values."""
+        import sys
+        from pathlib import Path
+        from types import SimpleNamespace
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from flax import nnx
+
+        from examples.evaluate import evaluate_registration
+        from learning3d_tpu import models
+        from learning3d_tpu.data import RegistrationData, SyntheticModelNet40
+
+        ds = RegistrationData(
+            algorithm="iPCRNet",
+            data_class=SyntheticModelNet40(num_points=64, size=16),
+        )
+        model = models.iPCRNet(
+            models.PointNet(emb_dims=32, rngs=nnx.Rngs(0)), rngs=nnx.Rngs(1)
+        )
+        args = SimpleNamespace(task="ipcrnet", batch_size=8)
+        s = evaluate_registration(model, ds, args)
+        for k in ("Rot_RMSE", "Rot_MAE", "Trans_RMSE", "point_RMSE", "rot_deg"):
+            assert np.isfinite(s[k]), (k, s)
