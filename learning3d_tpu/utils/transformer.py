@@ -14,30 +14,13 @@ import jax.numpy as jnp
 from flax import nnx
 
 
-def _flash_ok(q, k):
-    """Pallas TPU flash attention constraints: TPU backend, head_dim a
-    lane multiple, sequence lengths block multiples, and long enough that
-    skipping the HBM-resident (B, h, N, M) score tensor actually pays."""
-    return (
-        jax.default_backend() == "tpu"
-        and q.shape[-1] % 128 == 0
-        and q.shape[-2] % 128 == 0
-        and k.shape[-2] % 128 == 0
-        and q.shape[-2] >= 512
-    )
-
-
 def _attention(q, k, v):
+    # NOTE (measured, round 2): the Pallas TPU flash_attention kernel is
+    # ~2x SLOWER than this einsum+softmax at DCP's shape (B=32, h=4,
+    # N=1024, d=128) — pointer 8 -> 14 ms, whole DCP 18.5 -> 36 ms — the
+    # blockwise kernel doesn't pay until far longer sequences; XLA's
+    # fused softmax chain wins in this regime. Keep the einsum path.
     d_k = q.shape[-1]
-    if _flash_ok(q, k):
-        # blockwise (flash) attention: scores live in VMEM tile by tile,
-        # the (B, h, N, M) matrix never reaches HBM — this is the bulk of
-        # the DCP pointer's memory traffic at N=1024
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
-
-        import math
-
-        return flash_attention(q, k, v, sm_scale=1.0 / math.sqrt(d_k))
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(jnp.asarray(d_k, q.dtype))
     return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, axis=-1), v)
 

@@ -73,8 +73,11 @@ def main():
     def fwd_bwd(i, carry, x, y):
         params, rest, opt_state, acc = carry
         (loss, rest), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, rest, x + 1e-4 * i, y)
-        leaves = jax.tree.leaves(grads)
-        acc = acc + loss + sum(jnp.sum(l).astype(jnp.float32) * 0 for l in leaves[:1])
+        # consume every grad leaf with a non-zero coefficient so XLA cannot
+        # dead-code-eliminate the backward pass (a *0 reduction gets DCE'd
+        # and this row collapses to fwd-only)
+        gsum = sum(jnp.sum(l).astype(jnp.float32) for l in jax.tree.leaves(grads))
+        acc = acc + loss + gsum * jnp.float32(1e-30)
         return params, rest, opt_state, acc
 
     def full(i, carry, x, y):
