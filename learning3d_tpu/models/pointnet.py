@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from learning3d_tpu.models.pooling import Pooling
-from learning3d_tpu.utils.layers import fused_bn_relu_maxpool
+from learning3d_tpu.utils.layers import linear_bn_relu_maxpool
 
 
 class PointNet(nnx.Module):
@@ -83,13 +83,15 @@ class PointNet(nnx.Module):
         return jnp.concatenate([g, point_feature], axis=-1)
 
     def pooled_features(self, input_data, use_running_average=None):
-        """Max-pooled global feature (B, emb_dims) with the last-stage
-        BN+ReLU+max-pool fused (utils.layers.fused_bn_relu_maxpool) —
-        identical values and gradients to
-        ``max(relu(bn(conv(x))), axis=-2)`` but without materializing the
-        normalized (B, N, emb) tensor, which is the train step's traffic
-        bottleneck. Heads that max-pool this encoder (Classifier,
-        PointNetLK, iPCRNet) route through here."""
+        """Max-pooled global feature (B, emb_dims) with the whole last
+        stage conv+BN+ReLU+max-pool fused (utils.layers.linear_bn_relu_maxpool)
+        — identical values and gradients to
+        ``max(relu(bn(conv(x))), axis=-2)``, but the normalized (B, N, emb)
+        tensor is never materialized and in train mode the backward runs
+        through a Gram-matrix custom VJP that never builds a dense dz
+        (the train step's traffic bottleneck, tools/profile_bwd.py).
+        Heads that max-pool this encoder (Classifier, PointNetLK,
+        iPCRNet) route through here."""
         if not self.global_feat:
             raise ValueError("pooled_features requires global_feat=True")
         x = input_data
@@ -102,7 +104,6 @@ class PointNet(nnx.Module):
             if bn is not None:
                 x = bn(x, use_running_average=use_running_average)
             x = jax.nn.relu(x)
-        z = self.convs[-1](x)
         if self.bns[-1] is not None:
-            return fused_bn_relu_maxpool(z, self.bns[-1], use_running_average)
-        return jnp.max(jax.nn.relu(z), axis=-2)
+            return linear_bn_relu_maxpool(x, self.convs[-1], self.bns[-1], use_running_average)
+        return jnp.max(jax.nn.relu(self.convs[-1](x)), axis=-2)

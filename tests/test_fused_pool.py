@@ -81,6 +81,76 @@ class TestFusedBnReluMaxpool:
                     np.asarray(bnb.mean[...]), np.asarray(bna.mean[...]), atol=1e-6
                 )
 
+    def test_linear_fusion_values_grads_stats(self):
+        """Full-stage fusion (linear_bn_relu_maxpool, Gram-matrix custom
+        VJP): values, ALL parameter grads, dx, and running-stat EMAs must
+        match the naive conv->bn->relu->maxpool chain in train mode."""
+        from learning3d_tpu.utils.layers import linear_bn_relu_maxpool
+
+        B, N, K, E = 3, 29, 8, 12
+        x = jax.random.normal(jax.random.PRNGKey(6), (B, N, K))
+
+        def build():
+            lin = nnx.Linear(K, E, rngs=nnx.Rngs(7))
+            bn = make_bn(E)
+            return lin, bn
+
+        def naive_loss(params, x):
+            lin, bn = params
+            out = jnp.max(jax.nn.relu(bn(lin(x))), axis=-2)
+            return jnp.sum(jnp.sin(out) * (1.0 + jnp.arange(E)))
+
+        def fused_loss(params, x):
+            lin, bn = params
+            out = linear_bn_relu_maxpool(x, lin, bn)
+            return jnp.sum(jnp.sin(out) * (1.0 + jnp.arange(E)))
+
+        la, ba = build()
+        lb, bb = build()
+        va = naive_loss((la, ba), x)
+        vb = fused_loss((lb, bb), x)
+        np.testing.assert_allclose(float(vb), float(va), rtol=1e-4)
+        # train-mode running-stat EMA identical
+        np.testing.assert_allclose(
+            np.asarray(bb.mean[...]), np.asarray(ba.mean[...]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(bb.var[...]), np.asarray(ba.var[...]), atol=1e-4
+        )
+
+        ga = nnx.grad(naive_loss, argnums=(0, 1))(build(), x)
+        gb = nnx.grad(fused_loss, argnums=(0, 1))(build(), x)
+        fa = jax.tree_util.tree_leaves(ga)
+        fb = jax.tree_util.tree_leaves(gb)
+        assert len(fa) == len(fb) and len(fa) >= 4
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-3 * max(1.0, float(jnp.max(jnp.abs(a))))
+            )
+        gxa = jax.grad(lambda x: naive_loss(build(), x))(x)
+        gxb = jax.grad(lambda x: fused_loss(build(), x))(x)
+        np.testing.assert_allclose(np.asarray(gxb), np.asarray(gxa), atol=1e-3)
+
+    def test_linear_fusion_through_pointnet_grads(self):
+        """End-to-end: grads of a pooled PointNet loss agree between the
+        pooled_features fused path and the naive __call__+max chain."""
+        from learning3d_tpu.models import PointNet
+
+        x = jax.random.normal(jax.random.PRNGKey(8), (2, 48, 3))
+
+        def loss(pn, x, fused):
+            out = pn.pooled_features(x) if fused else jnp.max(pn(x), axis=-2)
+            return jnp.mean(out ** 2)
+
+        pn_a = PointNet(emb_dims=16, use_bn=True, rngs=nnx.Rngs(0))
+        pn_b = PointNet(emb_dims=16, use_bn=True, rngs=nnx.Rngs(0))
+        ga = nnx.grad(loss)(pn_a, x, False)
+        gb = nnx.grad(loss)(pn_b, x, True)
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-3 * max(1.0, float(jnp.max(jnp.abs(a))))
+            )
+
     def test_classifier_uses_fused_path(self):
         from learning3d_tpu.models import Classifier, PointNet
 

@@ -212,8 +212,47 @@ def check_index_points_matmul():
     assert mism == 0.0, mism
 
 
+def check_poolgrad():
+    """Fused pooled-stage kernels: forward stats (max/min/argmax/argmin +
+    Gram) and the sparse backward (dx scatter + dW) vs XLA oracles."""
+    from learning3d_tpu.kernels.poolgrad import pool_bwd_pallas, pool_stats_pallas
+
+    for (B, N, K, E) in [(8, 1000, 128, 1024), (4, 512, 128, 256), (3, 384, 256, 512)]:
+        kx, kw, kc = jax.random.split(jax.random.PRNGKey(B + N), 3)
+        x = jax.random.normal(kx, (B, N, K))
+        W = jax.random.normal(kw, (K, E)) * 0.1
+        c = jax.random.normal(kc, (E,)) * 0.1
+        mx, mn, amax, amin, G, cs = jax.jit(pool_stats_pallas)(x, W, c)
+        z = (x @ W + c).astype(jnp.float32)
+        merr = float(jnp.max(jnp.abs(mx - jnp.max(z, 1))))
+        nerr = float(jnp.max(jnp.abs(mn - jnp.min(z, 1))))
+        am = float(jnp.mean(amax == jnp.argmax(z, 1)))
+        an = float(jnp.mean(amin == jnp.argmin(z, 1)))
+        Gr = jnp.einsum("bnk,bnl->kl", x, x, preferred_element_type=jnp.float32)
+        gerr = float(jnp.max(jnp.abs(G - Gr)) / jnp.max(jnp.abs(Gr)))
+        print(
+            f"pool_stats B={B} N={N} K={K} E={E}: max err {merr:.1e} min err {nerr:.1e}"
+            f" argmax match {am:.4f} argmin match {an:.4f} G rel {gerr:.1e}"
+        )
+        assert merr < 1e-4 and nerr < 1e-4 and gerr < 1e-5
+        assert am > 0.999 and an > 0.999  # f32-vs-MXU rounding ties only
+
+        idx = jax.random.randint(jax.random.PRNGKey(0), (B, E), 0, N)
+        dsel = jax.random.normal(jax.random.PRNGKey(1), (B, E))
+        dx, dw = jax.jit(pool_bwd_pallas)(idx, dsel, W, x)
+        vals = dsel[:, :, None] * jnp.swapaxes(W, 0, 1)[None]
+        rdx = jnp.zeros((B, N, K)).at[jnp.arange(B)[:, None], idx].add(vals)
+        xs = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+        rdw = jnp.einsum("bek,be->ke", xs, dsel)
+        dxe = float(jnp.max(jnp.abs(dx - rdx)) / jnp.max(jnp.abs(rdx)))
+        dwe = float(jnp.max(jnp.abs(dw - rdw)) / jnp.max(jnp.abs(rdw)))
+        print(f"pool_bwd  B={B} N={N} K={K} E={E}: dx rel {dxe:.1e} dW rel {dwe:.1e}")
+        assert dxe < 1e-4 and dwe < 1e-4
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
+    check_poolgrad()
     check_index_points_matmul()
     check_chamfer()
     check_edgeconv()

@@ -127,12 +127,22 @@ def main():
 
     bench("stage5, stats stop_grad  f+b", stage5_stop, p5, r5)
 
-    # stage5 forward only
+    # stage5 with the Gram-form custom VJP (linear_bn_relu_maxpool)
+    def stage5_fused(p5, r5, i):
+        from learning3d_tpu.utils.layers import linear_bn_relu_maxpool
+
+        m = nnx.merge(gd5, p5, r5, copy=True)
+        out = linear_bn_relu_maxpool(x4 + 1e-4 * i, m.convs[-1], m.bns[-1], None)
+        return jnp.sum(out.astype(jnp.float32))
+
+    bench("stage5 custom-vjp f+b", stage5_fused, p5, r5)
+
+    # stage5 forward only (merge INSIDE the loop body: the fused pool
+    # mutates BN running stats, which must happen at the loop trace level)
     @functools.partial(jax.jit, static_argnums=0)
     def many_f(n, p5, r5):
-        m = nnx.merge(gd5, p5, r5, copy=True)
-
         def step(i, acc):
+            m = nnx.merge(gd5, p5, r5, copy=True)
             z = m.convs[-1](x4 + 1e-4 * i)
             from learning3d_tpu.utils.layers import fused_bn_relu_maxpool
 
