@@ -56,10 +56,12 @@ _H100_BASELINE_DCP = 1_700.0  # clouds/sec
 _FLOPS_PER_CLOUD_PN = 0.302e9  # PointNet(emb 1024) forward, N=1024
 
 
-def _timed_per_iter(fn_many, iters=51, reps=5, rounds=3):
+def _timed_per_iter(fn_many, iters=51, reps=5, rounds=8):
     """best over ``rounds`` of [min-of-reps (t_iters - t_1) / (iters - 1)],
     host-fetch barrier. Large iters gap so tunnel-RTT jitter on the t_1
-    measurement contributes < 2% to the quotient."""
+    measurement contributes < 2% to the quotient. Rounds span ~15 s so a
+    co-tenant's burst on the shared chip can't inflate every round
+    (observed spread: 539k-678k clouds/s across captures at rounds=3)."""
     float(fn_many(1))
     float(fn_many(iters))  # compile both trip counts
 
@@ -79,7 +81,7 @@ def _timed_per_iter(fn_many, iters=51, reps=5, rounds=3):
     best = float("inf")
     for r in range(rounds):
         if r:
-            time.sleep(1.0)
+            time.sleep(1.5)
         best = min(best, (t(iters) - t(1)) / (iters - 1))
     return max(best, 1e-9)
 
@@ -146,7 +148,10 @@ def bench_pointnet_train(batch=256, points=1024, dtype=jnp.bfloat16):
     )
     model.train()
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
-    tx = optax.adam(1e-3)
+    # flatten: one fused vector update instead of ~50 tiny per-leaf op
+    # chains — the step is optimizer-dispatch-bound after the fused pool
+    # (fwd+bwd 1.8 ms vs 6.6 ms full step at B=256, tools/profile_train.py)
+    tx = optax.flatten(optax.adam(1e-3))
     opt_state = tx.init(params)
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3), jnp.float32)
     y = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, 40)

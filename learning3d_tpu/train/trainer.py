@@ -56,7 +56,11 @@ def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
             tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
     else:
         tx = optax.adamw(sched, weight_decay=cfg.weight_decay) if cfg.weight_decay else optax.adam(sched)
-    return tx
+    # One fused flat-vector update instead of a chain of tiny per-leaf ops:
+    # the profiled PointNet train step at B=256 is optimizer-dispatch-bound
+    # once the encoder tail is fused (tools/profile_train.py). Identical
+    # math — adam/sgd are elementwise, so raveling commutes with the update.
+    return optax.flatten(tx)
 
 
 class Trainer:
