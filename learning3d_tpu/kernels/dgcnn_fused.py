@@ -1,0 +1,231 @@
+"""Fully-fused eval-mode DGCNN encoder: kNN + edge gather + all conv
+stages + per-stage neighbor max in ONE Pallas kernel.
+
+The XLA eval path (models/dgcnn.py) materializes every (B, N, k, C) edge
+tensor in HBM — ~1.4 GB of activation traffic per cloud at B=32, N=1024,
+k=20 against ~77 GFLOP of matmul, so the chain runs at ~13% MXU
+efficiency (tools/profile_dcp.py: encoder x2 = 7.9 ms of DCP's 19 ms).
+Here a (TN, N) distance tile lives in VMEM, k rounds of
+(min, first-match, mask) select neighbors, and the edge tensors never
+leave VMEM; only the (B, N, emb) result is written.
+
+Two TPU-native tricks:
+
+* stage 1 is evaluated PER POINT before the gather: with the edge
+  feature concat(neighbor, center) (ops/geometry.py:258-265) the first
+  conv splits as z1 = nbr @ Wn1 + (center @ Wc1 + b1), so the per-point
+  product XW1 = x @ Wn1 (N, 64) is computed once and the one-hot
+  selection matmul gathers rows of XW1 directly — the gather lands in
+  feature space and the (k*TN, 6) edge tensor never exists at all;
+* eval-mode BatchNorm is a per-channel affine, folded into each conv's
+  weights/bias outside the kernel (W' = W * s, b' = beta - mean * s),
+  so the chain inside is pure matmul+relu.
+
+Weight layout matches models/dgcnn.py (reference models/dgcnn.py:6-49):
+dims [(6,64),(64,64),(64,128),(128,256),(512,emb)], bias-free convs +
+BN, stages 1-4 max-pooled over neighbors and concatenated into conv5.
+
+Train mode and non-TPU backends keep the unfused path (batch statistics
+need the full activation; CPU parity tests pin the reference math).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _fused_kernel(
+    xt_ref,  # (1, 3, TN) query tile, f32
+    xf_ref,  # (1, 3, Np) full cloud, f32
+    xw1_ref,  # (1, Np, C1) per-point stage-1 neighbor product, compute dtype
+    wc1_ref,  # (3, C1) center half of conv1 (BN-folded)
+    b1_ref,  # (1, C1)
+    w2_ref,  # (C1, C2)
+    b2_ref,  # (1, C2)
+    w3_ref,  # (C2, C3)
+    b3_ref,  # (1, C3)
+    w4_ref,  # (C3, C4)
+    b4_ref,  # (1, C4)
+    w5_ref,  # (C1+C2+C3+C4, E)
+    b5_ref,  # (1, E)
+    out_ref,  # (1, TN, E)
+    *,
+    k,
+    n_valid,
+    dot_dtype,
+):
+    f32 = jnp.float32
+    xt = xt_ref[0]  # (3, TN)
+    xf = xf_ref[0]  # (3, Np)
+    # exact f32 pairwise squared distances (same formulation as
+    # kernels/knn.py::_knn_kernel, ties toward the smaller index)
+    d0 = xt[0][:, None] - xf[0][None, :]
+    d1 = xt[1][:, None] - xf[1][None, :]
+    d2 = xt[2][:, None] - xf[2][None, :]
+    d = d0 * d0 + d1 * d1 + d2 * d2  # (TN, Np)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d = jnp.where(col < n_valid, d, _BIG)
+
+    xw1 = xw1_ref[0].astype(dot_dtype)  # (Np, C1)
+    center = jnp.transpose(xt).astype(dot_dtype)  # (TN, 3)
+    c1 = (
+        jax.lax.dot_general(
+            center, wc1_ref[...].astype(dot_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + b1_ref[...]
+    )  # (TN, C1) f32
+
+    # k selection rounds; each round gathers the neighbor's stage-1
+    # features with a one-hot MXU product against XW1
+    e1 = []
+    for _ in range(k):
+        m = jnp.min(d, axis=1)
+        mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
+        onehot = (col == mi[:, None]).astype(dot_dtype)  # (TN, Np)
+        z1 = jax.lax.dot_general(
+            onehot, xw1, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (TN, C1)
+        e1.append(jax.nn.relu(z1 + c1).astype(dot_dtype))
+        d = jnp.where(col == mi[:, None], _BIG, d)
+
+    def stage(e, w_ref, b_ref):
+        z = (
+            jax.lax.dot_general(
+                e, w_ref[...].astype(dot_dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + b_ref[...]
+        )
+        return jax.nn.relu(z).astype(dot_dtype)  # (k*TN, C_out)
+
+    tn = xt.shape[1]
+
+    def kmax(z):  # (k*TN, C) -> (TN, C) max over the k row blocks
+        s = z[0:tn]
+        for j in range(1, k):
+            s = jnp.maximum(s, z[j * tn : (j + 1) * tn])
+        return s
+
+    e1 = jnp.concatenate(e1, axis=0)  # (k*TN, C1)
+    z2 = stage(e1, w2_ref, b2_ref)
+    z3 = stage(z2, w3_ref, b3_ref)
+    z4 = stage(z3, w4_ref, b4_ref)
+    cat = jnp.concatenate([kmax(e1), kmax(z2), kmax(z3), kmax(z4)], axis=-1)
+    out = (
+        jax.lax.dot_general(
+            cat.astype(dot_dtype), w5_ref[...].astype(dot_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        + b5_ref[...]
+    )
+    out_ref[0] = jax.nn.relu(out).astype(out_ref.dtype)
+
+
+def _fold_bn(kernel, bn):
+    """Fold eval-mode BatchNorm into a bias-free conv: returns (W', b')
+    in f32 with relu(W' x + b') == relu(bn(x @ W)) under running stats."""
+    s = bn.scale[...].astype(jnp.float32) * jax.lax.rsqrt(
+        bn.var[...].astype(jnp.float32) + bn.epsilon
+    )
+    b = bn.bias[...].astype(jnp.float32) - bn.mean[...].astype(jnp.float32) * s
+    return kernel.astype(jnp.float32) * s[None, :], b
+
+
+def dgcnn_encode_fused(x, convs, bns, k, *, dot_dtype=jnp.bfloat16, tile_n=128):
+    """Eval-mode DGCNN encoder forward: x (B, N, 3) -> (B, N, emb).
+
+    ``convs``/``bns`` are the module's nnx.Linear / nnx.BatchNorm stacks
+    (models/dgcnn.py); BN must be in running-average mode. Matmuls run in
+    ``dot_dtype`` with f32 accumulation (pass f32 for exactness tests).
+    """
+    B, N, _ = x.shape
+    folded = [_fold_bn(c.kernel[...], bn) for c, bn in zip(convs, bns)]
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5) = folded
+    wn1, wc1 = w1[:3], w1[3:]  # edge feature rows: [neighbor, center]
+    emb = w5.shape[1]
+    c1 = w1.shape[1]
+
+    xf32 = x.astype(jnp.float32)
+    # per-point stage-1 neighbor product, gathered inside the kernel
+    xw1 = jnp.einsum(
+        "bnc,ce->bne", xf32.astype(dot_dtype), wn1.astype(dot_dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(dot_dtype)
+
+    Np = _round_up(N, tile_n)
+    xt = jnp.swapaxes(xf32, 1, 2)  # (B, 3, N)
+    if Np != N:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, Np - N)))
+        xw1 = jnp.pad(xw1, ((0, 0), (0, Np - N), (0, 0)))
+
+    dims2 = [w.shape for w in (w2, w3, w4, w5)]
+    out_dtype = dot_dtype if dot_dtype != jnp.float32 else x.dtype
+    row2 = lambda a: a.reshape(1, -1)
+    grid = (B, Np // tile_n)
+    flops_gather = 2 * B * Np * Np * (3 + k * _round_up(c1, 128))
+    flops_chain = 2 * B * Np * k * sum(ci * co for ci, co in dims2[:3])
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, k=k, n_valid=N, dot_dtype=dot_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Np), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, c1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec(s, lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+            for s in [
+                (3, c1), (1, c1),
+                dims2[0], (1, dims2[0][1]),
+                dims2[1], (1, dims2[1][1]),
+                dims2[2], (1, dims2[2][1]),
+                dims2[3], (1, emb),
+            ]
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_n, emb), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Np, emb), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_gather + flops_chain,
+            bytes_accessed=4 * B * Np * (3 + c1) + 2 * B * Np * emb,
+            transcendentals=0,
+        ),
+    )(
+        xt,
+        xt,
+        xw1,
+        wc1, row2(b1),
+        w2, row2(b2),
+        w3, row2(b3),
+        w4, row2(b4),
+        w5, row2(b5),
+    )
+    return out[:, :N]
+
+
+def dgcnn_fused_ok(x, convs, bns, k):
+    """Dispatch guard: eval-mode TPU bf16 DGCNN shapes the kernel covers."""
+    return (
+        jax.default_backend() == "tpu"
+        and x.ndim == 3
+        and x.shape[-1] == 3
+        and x.shape[1] >= k
+        and len(convs) == 5
+        and convs[0].kernel[...].shape[0] == 6
+        and bns[0] is not None
+        and bns[0].use_running_average
+        and convs[0].dtype == jnp.bfloat16
+    )

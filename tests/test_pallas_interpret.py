@@ -99,6 +99,30 @@ class TestInterpretKernels:
         np.testing.assert_array_equal(idx, idx_ref)
         np.testing.assert_allclose(sq, np.take_along_axis(d, idx_ref, -1), atol=1e-4)
 
+    def test_dgcnn_fused_encoder(self):
+        """Fused eval DGCNN (kNN + gather + folded-BN conv chain + kmax)
+        vs the module's unfused path, f32 matmuls for exactness."""
+        from flax import nnx
+
+        from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused
+        from learning3d_tpu.models import DGCNN
+
+        B, N, k = 2, 256, 5
+        net = DGCNN(emb_dims=64, k=k, rngs=nnx.Rngs(0))
+        net.eval()
+        # non-trivial running stats so the BN folding is actually exercised
+        for bn in net.bns:
+            c = bn.mean[...].shape[0]
+            bn.mean[...] = 0.1 * jnp.arange(c, dtype=jnp.float32) / c
+            bn.var[...] = 1.0 + 0.5 * jnp.arange(c, dtype=jnp.float32) / c
+        x = jax.random.normal(jax.random.PRNGKey(6), (B, N, 3))
+        want = np.asarray(net(x))
+        with _interp():
+            got = np.asarray(
+                dgcnn_encode_fused(x, net.convs, net.bns, k, dot_dtype=jnp.float32)
+            )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
     def test_sinkhorn(self):
         from learning3d_tpu.kernels.sinkhorn import sinkhorn_log_pallas
         from learning3d_tpu.utils.rigid import sinkhorn_log

@@ -250,8 +250,49 @@ def check_poolgrad():
         assert dxe < 1e-4 and dwe < 1e-4
 
 
+def check_dgcnn_fused():
+    """Fused eval DGCNN encoder vs the unfused XLA chain, bf16 compute."""
+    from flax import nnx
+
+    from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused
+    from learning3d_tpu.kernels.edgeconv import get_graph_feature_fused
+    from learning3d_tpu.models import DGCNN
+
+    B, N, k = 8, 1000, 20  # non-128-multiple N exercises padding
+    net = DGCNN(emb_dims=512, k=k, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    net.eval()
+    for bn in net.bns:
+        c = bn.mean[...].shape[0]
+        bn.mean[...] = 0.05 * jnp.arange(c, dtype=jnp.float32) / c
+        bn.var[...] = 1.0 + 0.3 * jnp.arange(c, dtype=jnp.float32) / c
+    gd, st = nnx.split(net)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3))
+
+    def unfused(st, x):
+        m = nnx.merge(gd, st)
+        e = get_graph_feature_fused(x, k=m.k)
+        outs = []
+        for conv, bn in zip(m.convs[:4], m.bns[:4]):
+            e = jax.nn.relu(bn(conv(e)))
+            outs.append(jnp.max(e, axis=2))
+        cat = jnp.concatenate(outs, axis=-1)
+        return jax.nn.relu(m.bns[4](m.convs[4](cat)))
+
+    def fused(st, x):
+        m = nnx.merge(gd, st)
+        return dgcnn_encode_fused(x, m.convs, m.bns, m.k)
+
+    a = np.asarray(jax.jit(fused)(st, x), np.float32)
+    b = np.asarray(jax.jit(unfused)(st, x), np.float32)
+    scale = np.abs(b).mean()
+    rel = np.abs(a - b).mean() / scale
+    print(f"dgcnn_fused: mean rel {rel:.2e} (bf16 rounding + f32 kNN ties)")
+    assert rel < 2e-2, rel
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
+    check_dgcnn_fused()
     check_poolgrad()
     check_index_points_matmul()
     check_chamfer()
