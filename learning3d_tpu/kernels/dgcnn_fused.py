@@ -60,6 +60,7 @@ def _fused_kernel(
     w5_ref,  # (C1+C2+C3+C4, E)
     b5_ref,  # (1, E)
     out_ref,  # (1, TN, E)
+    e1_ref,  # VMEM scratch (k*TN, C1), compute dtype
     *,
     k,
     n_valid,
@@ -88,17 +89,22 @@ def _fused_kernel(
     )  # (TN, C1) f32
 
     # k selection rounds; each round gathers the neighbor's stage-1
-    # features with a one-hot MXU product against XW1
-    e1 = []
-    for _ in range(k):
+    # features with a one-hot MXU product against XW1. A fori_loop (not a
+    # python unroll) keeps the Mosaic program size independent of k; the
+    # per-round rows land in the VMEM scratch at a TN-aligned offset.
+    tn = xt.shape[1]
+
+    def pick(j, d):
         m = jnp.min(d, axis=1)
         mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
         onehot = (col == mi[:, None]).astype(dot_dtype)  # (TN, Np)
         z1 = jax.lax.dot_general(
             onehot, xw1, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )  # (TN, C1)
-        e1.append(jax.nn.relu(z1 + c1).astype(dot_dtype))
-        d = jnp.where(col == mi[:, None], _BIG, d)
+        e1_ref[pl.ds(j * tn, tn), :] = jax.nn.relu(z1 + c1).astype(dot_dtype)
+        return jnp.where(col == mi[:, None], _BIG, d)
+
+    jax.lax.fori_loop(0, k, pick, d, unroll=False)
 
     def stage(e, w_ref, b_ref):
         z = (
@@ -110,15 +116,13 @@ def _fused_kernel(
         )
         return jax.nn.relu(z).astype(dot_dtype)  # (k*TN, C_out)
 
-    tn = xt.shape[1]
-
     def kmax(z):  # (k*TN, C) -> (TN, C) max over the k row blocks
         s = z[0:tn]
         for j in range(1, k):
             s = jnp.maximum(s, z[j * tn : (j + 1) * tn])
         return s
 
-    e1 = jnp.concatenate(e1, axis=0)  # (k*TN, C1)
+    e1 = e1_ref[...]  # (k*TN, C1)
     z2 = stage(e1, w2_ref, b2_ref)
     z3 = stage(z2, w3_ref, b3_ref)
     z4 = stage(z3, w4_ref, b4_ref)
@@ -198,6 +202,7 @@ def dgcnn_encode_fused(x, convs, bns, k, *, dot_dtype=jnp.bfloat16, tile_n=128):
             (1, tile_n, emb), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, Np, emb), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k * tile_n, c1), dot_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops_gather + flops_chain,
             bytes_accessed=4 * B * Np * (3 + c1) + 2 * B * Np * emb,
