@@ -223,8 +223,11 @@ def dgcnn_encode_fused(x, convs, bns, k, *, dot_dtype=jnp.bfloat16, tile_n=128):
 
 def dgcnn_fused_ok(x, convs, bns, k):
     """Dispatch guard: eval-mode TPU bf16 DGCNN shapes the kernel covers."""
+    import os
+
     return (
-        jax.default_backend() == "tpu"
+        not os.environ.get("L3D_NO_FUSED_DGCNN")
+        and jax.default_backend() == "tpu"
         and x.ndim == 3
         and x.shape[-1] == 3
         and x.shape[1] >= k

@@ -72,6 +72,17 @@ def main():
         jnp.sum(get_graph_feature(t + 1e-4 * i, 20)) + jnp.sum(get_graph_feature(s + 1e-4 * i, 20))
     ).astype(jnp.float32))
 
+    from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused
+
+    def fused_enc(st, a):
+        m = nnx.merge(gdef_dg, st)
+        return dgcnn_encode_fused(a, m.convs, m.bns, m.k)
+
+    bench("DGCNN fused kernel (x2)", lambda i: (
+        jnp.sum(fused_enc(state_dg, t + 1e-4 * i))
+        + jnp.sum(fused_enc(state_dg, s + 1e-4 * i))
+    ).astype(jnp.float32))
+
     tr = dcp.pointer
     gdef_tr, state_tr = nnx.split(tr)
     bench("transformer pointer", lambda i: jnp.sum(
