@@ -28,6 +28,8 @@ class TrainConfig:
     weight_decay: float = 0.0
     epochs: int = 200
     cosine_decay: bool = False
+    accum_steps: int = 1  # gradient accumulation: microbatches per optimizer update
+    remat: bool = False  # jax.checkpoint the forward: trade recompute for HBM
     label_smoothing: float = 0.0  # CurveNet/DGCNN cal_loss epsilon
 
     # checkpointing

@@ -17,6 +17,7 @@ from pathlib import Path
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import nnx
 
@@ -100,6 +101,15 @@ class Trainer:
             pass
 
         loss_fn_ = self.loss_fn
+        if getattr(config, "remat", False):
+            # jax.checkpoint (nnx lifting): the backward pass recomputes the
+            # forward instead of holding every activation — HBM for FLOPs,
+            # same update (pinned by tests/test_data_train.py). The lambda
+            # pins the arity: nnx.remat would otherwise trace default
+            # kwargs (e.g. classification's python-float `smoothing`).
+            base_loss_fn = loss_fn_
+            loss_fn_ = nnx.remat(lambda m, b, k: base_loss_fn(m, b, k))
+        accum = max(int(getattr(config, "accum_steps", 1) or 1), 1)
 
         @nnx.jit
         def train_step(model, optimizer, batch, key):
@@ -107,10 +117,40 @@ class Trainer:
                 ka, key = jax.random.split(key)
                 batch = augment_fn(ka, batch)
 
-            def lf(m):
-                return loss_fn_(m, batch, key)
+            if accum == 1:
+                def lf(m):
+                    return loss_fn_(m, batch, key)
 
-            (loss, aux), grads = nnx.value_and_grad(lf, has_aux=True)(model)
+                (loss, aux), grads = nnx.value_and_grad(lf, has_aux=True)(model)
+                optimizer.update(model, grads)
+                return loss, aux
+
+            # gradient accumulation: split the batch into `accum` equal
+            # microbatches along axis 0 and average the grads before ONE
+            # optimizer update. Equal microbatches keep mean-reduced losses
+            # exactly equivalent to the full-batch step (mean of means);
+            # BN batch stats update once per microbatch, as they would if
+            # the microbatch were the physical batch.
+            micro = jax.tree.map(
+                lambda a: a.reshape((accum, a.shape[0] // accum) + a.shape[1:]),
+                batch,
+            )
+            keys = jax.random.split(key, accum)
+            loss = grads = aux = None
+            for i in range(accum):
+                mb = jax.tree.map(lambda a: a[i], micro)
+
+                def lf(m, mb=mb, k=keys[i]):
+                    return loss_fn_(m, mb, k)
+
+                (li, ai), gi = nnx.value_and_grad(lf, has_aux=True)(model)
+                loss = li if loss is None else loss + li
+                aux = ai if aux is None else jax.tree.map(lambda a, b: a + b, aux, ai)
+                grads = gi if grads is None else jax.tree.map(lambda a, b: a + b, grads, gi)
+            inv = 1.0 / accum
+            loss = loss * inv
+            aux = jax.tree.map(lambda a: a * inv if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, aux)
+            grads = jax.tree.map(lambda a: a * inv, grads)
             optimizer.update(model, grads)
             return loss, aux
 

@@ -169,6 +169,83 @@ class TestTrainer:
         opt_after = jax.tree.map(np.asarray, nnx.state(tr2.optimizer))
         jax.tree.map(np.testing.assert_array_equal, opt_before, opt_after)
 
+    def test_gradient_accumulation_matches_full_batch(self):
+        """accum_steps=k microbatching must produce EXACTLY the same
+        optimizer update as the full-batch step for mean-reduced losses
+        (equal microbatches: mean of means == overall mean)."""
+        import dataclasses
+
+        from learning3d_tpu.train import TrainConfig, Trainer
+
+        class Tiny(nnx.Module):
+            def __init__(self, rngs):
+                self.lin = nnx.Linear(3, 1, rngs=rngs)
+
+            def __call__(self, x):
+                return self.lin(jnp.mean(x, axis=1))
+
+        def lf(model, batch, key):
+            x, y = batch
+            pred = model(x)[:, 0]
+            loss = jnp.mean((pred - y) ** 2)
+            return loss, {"mse": loss}
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 3))
+        y = jax.random.normal(jax.random.PRNGKey(1), (8,))
+        cfg = TrainConfig(
+            optimizer="sgd", lr=0.1, momentum=0.0, batch_size=8,
+            ckpt_dir="/tmp/l3d_test_ckpt", exp_name="accum",
+        )
+        results = {}
+        for accum in (1, 4):
+            tr = Trainer(
+                dataclasses.replace(cfg, accum_steps=accum), Tiny(nnx.Rngs(0)), loss_fn=lf
+            )
+            tr._tx = __import__("optax").sgd(0.1)
+            tr.optimizer = nnx.Optimizer(tr.model, tr._tx, wrt=nnx.Param)
+            loss, aux = tr._train_step(tr.model, tr.optimizer, (x, y), jax.random.PRNGKey(2))
+            results[accum] = (
+                float(loss),
+                float(aux["mse"]),
+                jax.tree.map(np.asarray, nnx.state(tr.model, nnx.Param)),
+            )
+        np.testing.assert_allclose(results[1][0], results[4][0], rtol=1e-6)
+        np.testing.assert_allclose(results[1][1], results[4][1], rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+            results[1][2], results[4][2],
+        )
+
+    def test_remat_step_matches_plain_step(self):
+        """cfg.remat recomputes the forward in the backward pass; the
+        resulting update (params AND BN batch stats) must be identical."""
+        import dataclasses
+
+        from learning3d_tpu import models
+        from learning3d_tpu.train import TrainConfig, Trainer
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 3))
+        y = jax.random.randint(jax.random.PRNGKey(1), (8,), 0, 4)
+        cfg = TrainConfig(
+            task="classification", optimizer="sgd", lr=0.05, momentum=0.0,
+            batch_size=8, ckpt_dir="/tmp/l3d_test_ckpt", exp_name="remat",
+        )
+        states = {}
+        for remat in (False, True):
+            pn = models.PointNet(emb_dims=32, use_bn=True, rngs=nnx.Rngs(0))
+            model = models.Classifier(pn, num_classes=4, rngs=nnx.Rngs(1))
+            tr = Trainer(dataclasses.replace(cfg, remat=remat), model)
+            tr._tx = __import__("optax").sgd(0.05)
+            tr.optimizer = nnx.Optimizer(tr.model, tr._tx, wrt=nnx.Param)
+            tr._train_step(tr.model, tr.optimizer, (x, y), jax.random.PRNGKey(2))
+            states[remat] = jax.tree.map(
+                np.asarray, nnx.state(tr.model, nnx.Param, nnx.BatchStat)
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            states[False], states[True],
+        )
+
     def test_masknet2_training_wiring(self):
         """The masknet task must train MaskNet2's TEMPLATE mask against
         the template-ordered gt mask (VERDICT r1 weak #5). N_t != N_s so
