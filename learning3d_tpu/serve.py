@@ -1,0 +1,88 @@
+"""Batched inference engine — the serving-side counterpart of the
+training Trainer.
+
+The reference has no serving story (its examples loop a DataLoader over a
+checkpointed model, e.g. /root/reference/examples/test_pointnet.py:25-60).
+For production TPU serving the hot rules are: static shapes (one XLA
+program per shape bucket, compiled once and cached), full batches (pad the
+tail request up to the bucket so the MXU always sees the same tiles), and
+no host↔device chatter inside the loop (one device_put in, one fetch out).
+
+``InferenceEngine`` wraps any eval-mode nnx model:
+
+    engine = InferenceEngine(model, batch_size=256)
+    probs = engine(points)                # numpy (n, ...) any n
+    out   = engine(template, source)      # registration models: dict out
+
+* inputs of arbitrary leading size are split into full ``batch_size``
+  chunks plus one padded tail; outputs are concatenated and the padding
+  stripped, for dict results too (registration models return dicts of
+  batched arrays — SURVEY.md §1's result-dict convention).
+* the jitted callable is cached per (n_args, point-count) bucket, so a
+  deployment serving 512- and 1024-point clouds compiles exactly twice.
+* with ``mesh=``, batches are sharded over the 'data' axis (pjit handles
+  the rest) — the multi-chip path is the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+from flax import nnx
+
+from learning3d_tpu.parallel.mesh import shard_batch
+
+
+class InferenceEngine:
+    def __init__(self, model: nnx.Module, batch_size: int = 256, mesh=None,
+                 output_key: str | None = None):
+        model.eval()
+        self._graphdef, self._state = nnx.split(model)
+        self.batch_size = int(batch_size)
+        self.mesh = mesh
+        self.output_key = output_key
+        self._compiled = {}
+
+    def _fn(self, n_args):
+        if n_args not in self._compiled:
+            graphdef = self._graphdef
+
+            @jax.jit
+            def run(state, *args):
+                return nnx.merge(graphdef, state)(*args)
+
+            self._compiled[n_args] = run
+        return self._compiled[n_args]
+
+    def __call__(self, *inputs):
+        """inputs: numpy/jax arrays with a shared leading dimension n.
+        Returns numpy array(s) with leading dimension n (dict results stay
+        dicts). n may be anything; the tail chunk is zero-padded to the
+        bucket and the padding stripped from the output."""
+        inputs = [np.asarray(a) for a in inputs]
+        n = inputs[0].shape[0]
+        if any(a.shape[0] != n for a in inputs):
+            raise ValueError("inputs must share the leading (batch) dimension")
+        run = self._fn(len(inputs))
+        bs = self.batch_size
+        pieces = []
+        for lo in range(0, n, bs):
+            chunk = [a[lo : lo + bs] for a in inputs]
+            got = chunk[0].shape[0]
+            if got < bs:  # pad the tail to keep the compiled shape
+                chunk = [np.concatenate([c, np.zeros((bs - got,) + c.shape[1:], c.dtype)]) for c in chunk]
+            if self.mesh is not None:
+                chunk = [shard_batch(self.mesh, c) for c in chunk]
+            out = run(self._state, *chunk)
+            out = jax.tree.map(lambda a: np.asarray(a[:got]), out)
+            pieces.append(out)
+        if len(pieces) == 1:
+            out = pieces[0]
+        else:
+            out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
+        if self.output_key is not None and isinstance(out, dict):
+            return out[self.output_key]
+        return out

@@ -1,0 +1,57 @@
+"""InferenceEngine: chunking/padding/jit-cache serving wrapper."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from learning3d_tpu import models
+from learning3d_tpu.serve import InferenceEngine
+
+
+class TestInferenceEngine:
+    def test_classifier_chunks_match_direct(self):
+        pn = models.PointNet(emb_dims=32, use_bn=True, rngs=nnx.Rngs(0))
+        model = models.Classifier(pn, num_classes=4, rngs=nnx.Rngs(1))
+        model.eval()
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (21, 32, 3)))
+
+        engine = InferenceEngine(model, batch_size=8)
+        got = engine(x)
+        assert got.shape == (21, 4)
+        want = np.asarray(model(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        # one compile per arity: a second ragged call reuses the program
+        assert len(engine._compiled) == 1
+        engine(x[:3])
+        assert len(engine._compiled) == 1
+
+    def test_registration_dict_output(self):
+        pn = models.PointNet(emb_dims=32, use_bn=False, rngs=nnx.Rngs(0))
+        model = models.iPCRNet(pn, rngs=nnx.Rngs(1))
+        model.eval()
+        t = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (5, 24, 3)))
+        s = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (5, 24, 3)))
+
+        engine = InferenceEngine(model, batch_size=2)
+        out = engine(t, s)
+        assert out["est_T"].shape == (5, 4, 4)
+        assert out["transformed_source"].shape == (5, 24, 3)
+        want = jax.tree.map(np.asarray, model(jnp.asarray(t), jnp.asarray(s)))
+        np.testing.assert_allclose(out["est_T"], want["est_T"], atol=1e-4)
+
+        est_t = InferenceEngine(model, batch_size=2, output_key="est_T")(t, s)
+        np.testing.assert_allclose(est_t, out["est_T"])
+
+    def test_mesh_sharded_serving(self):
+        from learning3d_tpu.parallel.mesh import make_mesh
+
+        pn = models.PointNet(emb_dims=32, use_bn=True, rngs=nnx.Rngs(0))
+        model = models.Classifier(pn, num_classes=4, rngs=nnx.Rngs(1))
+        model.eval()
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (16, 32, 3)))
+        mesh = make_mesh()  # all 8 virtual CPU devices on 'data'
+        got = InferenceEngine(model, batch_size=16, mesh=mesh)(x)
+        want = np.asarray(model(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
