@@ -56,7 +56,7 @@ _H100_BASELINE_DCP = 1_700.0  # clouds/sec
 _FLOPS_PER_CLOUD_PN = 0.302e9  # PointNet(emb 1024) forward, N=1024
 
 
-def _timed_per_iter(fn_many, iters=51, reps=5, rounds=8):
+def _timed_per_iter(fn_many, iters=51, reps=5, rounds=12):
     """best over ``rounds`` of [min-of-reps (t_iters - t_1) / (iters - 1)],
     host-fetch barrier. Large iters gap so tunnel-RTT jitter on the t_1
     measurement contributes < 2% to the quotient. Rounds span ~15 s so a
@@ -81,7 +81,7 @@ def _timed_per_iter(fn_many, iters=51, reps=5, rounds=8):
     best = float("inf")
     for r in range(rounds):
         if r:
-            time.sleep(1.5)
+            time.sleep(2.0)
         best = min(best, (t(iters) - t(1)) / (iters - 1))
     return max(best, 1e-9)
 
