@@ -10,6 +10,7 @@ from learning3d_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_module_params,
 )
+from learning3d_tpu.parallel.pipeline import pipeline_apply  # noqa: F401
 from learning3d_tpu.parallel.ring import (  # noqa: F401
     ring_chamfer,
     ring_knn,

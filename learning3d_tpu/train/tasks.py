@@ -129,12 +129,19 @@ def masknet(model, batch, key, loss_fn="mse"):
 
 
 def flownet(model, batch, key):
-    """Masked EPE-style MSE/2 (reference examples/train_flownet.py:94)."""
+    """Masked EPE-style MSE/2 (reference examples/train_flownet.py:94).
+
+    Aux adds the standard FlowNet3D benchmark metrics the reference
+    doesn't compute: EPE3D plus Acc3D-strict (<0.05 m or <5% rel) and
+    Acc3D-relaxed (<0.10 m or <10% rel)."""
     pos1, pos2, color1, color2, flow, mask1 = batch
     pred = model(pos1, pos2, color1, color2)
     loss = jnp.mean(mask1 * jnp.sum((pred - flow) ** 2, -1) / 2.0)
-    epe = jnp.mean(jnp.linalg.norm(pred - flow, axis=-1))
-    return loss, {"epe": epe}
+    err = jnp.linalg.norm(pred - flow, axis=-1)
+    mag = jnp.linalg.norm(flow, axis=-1)
+    acc_s = jnp.mean(((err < 0.05) | (err / (mag + 1e-12) < 0.05)).astype(jnp.float32))
+    acc_r = jnp.mean(((err < 0.10) | (err / (mag + 1e-12) < 0.10)).astype(jnp.float32))
+    return loss, {"epe": jnp.mean(err), "acc3d_strict": acc_s, "acc3d_relax": acc_r}
 
 
 def segmentation(model, batch, key):
