@@ -184,6 +184,26 @@ class TestQuaternion:
         sign = np.sign(np.sum(np.asarray(q12) * ref, axis=-1, keepdims=True))
         np.testing.assert_allclose(q12, ref * sign, atol=1e-5)
 
+    def test_qfix_continuity(self):
+        """qfix (reference ops/quaternion.py:127-144): greedy sign choice
+        along axis 0. Pinned against the sequential spec and the
+        continuity property (consecutive dots >= 0)."""
+        rng = np.random.RandomState(7)
+        # smooth random walk with adversarial sign flips injected
+        q = Rotation.random(20, random_state=11).as_quat(scalar_first=True)
+        q = q.reshape(20, 1, 4).astype(np.float32)
+        q *= rng.choice([-1.0, 1.0], size=(20, 1, 1))
+
+        fixed = np.asarray(quat.qfix(jnp.asarray(q)))
+        # sequential spec: flip q[i] iff dot with the previous FIXED < 0
+        want = q.copy()
+        for i in range(1, len(q)):
+            flip = np.sum(want[i] * want[i - 1], axis=-1, keepdims=True) < 0
+            want[i] = np.where(flip, -want[i], want[i])
+        np.testing.assert_allclose(fixed, want, atol=0)
+        assert np.all(np.sum(fixed[1:] * fixed[:-1], axis=-1) >= 0)
+        np.testing.assert_allclose(np.abs(fixed), np.abs(q), atol=0)
+
     def test_axis_angle_roundtrip(self):
         w = rand_w(jax.random.PRNGKey(10), 32, scale=2.0, max_norm=3.0)
         q = quat.axis_angle_to_quat(w)
