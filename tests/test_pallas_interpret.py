@@ -123,6 +123,27 @@ class TestInterpretKernels:
             )
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
+    def test_dgcnn_fused_encoder_bf16(self):
+        """bf16 compute path of the fused encoder (what the TPU runs)
+        stays within the on-chip tolerance of the f32 chain."""
+        from flax import nnx
+
+        from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused
+        from learning3d_tpu.models import DGCNN
+
+        B, N, k = 2, 256, 5
+        net = DGCNN(emb_dims=64, k=k, rngs=nnx.Rngs(0))
+        net.eval()
+        x = jax.random.normal(jax.random.PRNGKey(7), (B, N, 3))
+        want = np.asarray(net(x), np.float32)
+        with _interp():
+            got = np.asarray(
+                dgcnn_encode_fused(x, net.convs, net.bns, k, dot_dtype=jnp.bfloat16),
+                np.float32,
+            )
+        rel = np.abs(got - want).mean() / np.abs(want).mean()
+        assert rel < 2e-2, rel
+
     def test_sinkhorn(self):
         from learning3d_tpu.kernels.sinkhorn import sinkhorn_log_pallas
         from learning3d_tpu.utils.rigid import sinkhorn_log

@@ -250,7 +250,7 @@ def check_poolgrad():
         assert dxe < 1e-4 and dwe < 1e-4
 
 
-def check_dgcnn_fused():
+def check_dgcnn_fused(B=8, N=1000, k=20):
     """Fused eval DGCNN encoder vs the unfused XLA chain, bf16 compute."""
     from flax import nnx
 
@@ -258,7 +258,7 @@ def check_dgcnn_fused():
     from learning3d_tpu.kernels.edgeconv import get_graph_feature_fused
     from learning3d_tpu.models import DGCNN
 
-    B, N, k = 8, 1000, 20  # non-128-multiple N exercises padding
+    # default N=1000 (non-128-multiple) exercises padding
     net = DGCNN(emb_dims=512, k=k, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
     net.eval()
     for bn in net.bns:
@@ -291,15 +291,32 @@ def check_dgcnn_fused():
 
 
 if __name__ == "__main__":
+    import sys
+
     print("backend:", jax.default_backend())
-    check_dgcnn_fused()
-    check_poolgrad()
-    check_index_points_matmul()
-    check_chamfer()
-    check_edgeconv()
-    check_sampling()
-    check_ball_group()
-    check_knn()
-    check_emd()
-    check_bench_kernel_speed()
-    print("all kernel checks passed")
+    import functools as _ft
+
+    check_dgcnn_fused_small = _ft.partial(check_dgcnn_fused, B=2, N=256, k=5)
+    check_dgcnn_fused_small.__name__ = "check_dgcnn_fused_small"
+    checks = [
+        check_dgcnn_fused_small,
+        check_dgcnn_fused,
+        check_poolgrad,
+        check_index_points_matmul,
+        check_chamfer,
+        check_edgeconv,
+        check_sampling,
+        check_ball_group,
+        check_knn,
+        check_emd,
+        check_bench_kernel_speed,
+    ]
+    # optional name filters: `check_tpu_kernels.py dgcnn emd` runs only
+    # the matching checks (one small compile at a time — cheap first
+    # contact after a tunnel outage)
+    names = sys.argv[1:]
+    for c in checks:
+        if names and not any(n in c.__name__ for n in names):
+            continue
+        c()
+    print("kernel checks passed:", len([c for c in checks if not names or any(n in c.__name__ for n in names)]))
