@@ -184,7 +184,38 @@ def bench_pointnet_train(batch=256, points=1024, dtype=jnp.bfloat16):
     return batch / per
 
 
+def _require_device(timeout_s=300):
+    """Attach the accelerator with a watchdog: a wedged tunnel blocks
+    jax.devices() forever (observed during a multi-hour axon outage) —
+    better to emit a parseable error line than hang the driver."""
+    import os
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def attach():
+        info["devices"] = jax.devices()
+        done.set()
+
+    threading.Thread(target=attach, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            json.dumps(
+                {
+                    "metric": "pointnet_cls_clouds_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "clouds/s",
+                    "vs_baseline": 0,
+                    "error": f"accelerator unreachable after {timeout_s}s (tunnel outage)",
+                }
+            )
+        )
+        os._exit(2)
+
+
 def main():
+    _require_device()
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--points", type=int, default=1024)
