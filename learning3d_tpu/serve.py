@@ -31,9 +31,49 @@ import functools
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from flax import nnx
 
 from learning3d_tpu.parallel.mesh import shard_batch
+
+
+def export_model(model: nnx.Module, *example_inputs, path: str | None = None):
+    """Serialize an eval-mode model to a portable StableHLO artifact
+    (jax.export): weights baked in, loadable and runnable WITHOUT the
+    model's Python code — the deployment hand-off a production service
+    wants. Returns the serialized bytes (and writes them to ``path``).
+
+    Load side: ``run = load_model(path_or_bytes); run(points)``.
+    """
+    from jax import export as jexport
+
+    model.eval()
+    graphdef, state = nnx.split(model)
+
+    def fn(*args):
+        return nnx.merge(graphdef, state)(*args)
+
+    specs = [
+        jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype) for a in example_inputs
+    ]
+    exported = jexport.export(jax.jit(fn))(*specs)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_model(path_or_bytes):
+    """Deserialize an `export_model` artifact into a callable."""
+    from jax import export as jexport
+
+    blob = path_or_bytes
+    if isinstance(blob, str):
+        with open(blob, "rb") as f:
+            blob = f.read()
+    exported = jexport.deserialize(blob)
+    return lambda *args: exported.call(*args)
 
 
 class InferenceEngine:

@@ -44,6 +44,25 @@ class TestInferenceEngine:
         est_t = InferenceEngine(model, batch_size=2, output_key="est_T")(t, s)
         np.testing.assert_allclose(est_t, out["est_T"])
 
+    def test_export_roundtrip(self, tmp_path):
+        """StableHLO export: serialized artifact runs without the model's
+        Python object and matches the live forward."""
+        from learning3d_tpu.serve import export_model, load_model
+
+        pn = models.PointNet(emb_dims=32, use_bn=True, rngs=nnx.Rngs(0))
+        model = models.Classifier(pn, num_classes=4, rngs=nnx.Rngs(1))
+        model.eval()
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (4, 32, 3)), np.float32)
+
+        path = str(tmp_path / "clf.stablehlo")
+        blob = export_model(model, x, path=path)
+        assert len(blob) > 1000
+        want = np.asarray(model(jnp.asarray(x)))
+
+        run = load_model(path)
+        got = np.asarray(run(x))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
     def test_mesh_sharded_serving(self):
         from learning3d_tpu.parallel.mesh import make_mesh
 
