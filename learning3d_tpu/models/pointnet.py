@@ -99,6 +99,15 @@ class PointNet(nnx.Module):
             x = jnp.swapaxes(x, 1, 2)
         if x.shape[-1] not in (3, self.convs[0].in_features):
             raise RuntimeError("expected 3-channel point clouds")
+        from learning3d_tpu.kernels.pointnet_fused import (
+            pointnet_fused_ok,
+            pointnet_pooled_fused,
+        )
+
+        if pointnet_fused_ok(x, self.convs, self.bns, use_running_average):
+            # whole chain + pool in one Pallas program (VMEM-resident
+            # intermediates); identical math, exact grads via custom VJP
+            return pointnet_pooled_fused(x, list(self.convs), list(self.bns))
         for conv, bn in zip(self.convs[:-1], self.bns[:-1]):
             x = conv(x)
             if bn is not None:
