@@ -27,6 +27,13 @@ def main():
     p.add_argument("--nearest_neighbors", type=int, default=20)
     p.add_argument("--noise", action="store_true")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument(
+        "--masknet_ckpt",
+        default="",
+        help="chain a trained MaskNet before registration: the template is "
+        "filtered by the predicted inlier mask and mask P/R/F1 is reported "
+        "(reference examples/test_masknet.py workflow)",
+    )
     args = p.parse_args()
 
     from learning3d_tpu.train import TrainConfig, Trainer
@@ -48,42 +55,94 @@ def main():
 
     REGISTRATION_TASKS = ("dcp", "prnet", "ipcrnet", "pointnetlk", "rpmnet", "deepgmr")
     if args.task in REGISTRATION_TASKS:
-        summary = evaluate_registration(model, test_data, args)
+        mask_model = None
+        if args.masknet_ckpt:
+            # MaskNet workflow (reference test_masknet.py): partial source,
+            # gt masks in the batches, template filtered by predicted mask
+            from learning3d_tpu.data import RegistrationData
+            from learning3d_tpu.models import MaskNet, PointNet
+
+            test_data = RegistrationData(
+                algorithm="PointNetLK",
+                data_class=test_data.data_class,
+                partial_source=True,
+                noise=args.noise,
+                additional_params={"use_masknet": True},
+            )
+            # same config train.py's masknet task builds (build_model)
+            mask_model = MaskNet(
+                PointNet(emb_dims=1024, use_bn=True, rngs=nnx.Rngs(0)),
+                rngs=nnx.Rngs(1),
+            )
+            mask_cfg = TrainConfig(
+                exp_name=args.masknet_ckpt, task="masknet", ckpt_dir=args.ckpt_dir
+            )
+            Trainer(mask_cfg, mask_model).load(args.ckpt_name)
+        summary = evaluate_registration(model, test_data, args, mask_model=mask_model)
         from learning3d_tpu.train.metrics import format_registration_summary
 
         print(format_registration_summary(summary))
 
 
-def evaluate_registration(model, test_data, args):
+def evaluate_registration(model, test_data, args, mask_model=None):
     """Whole-testset Rot_RMSE/Rot_MAE/Trans_RMSE/point-RMSE aggregation
     in the reference's units (examples/test_deepgmr.py:36-82 formulas,
-    pretrained/exp_prnet/log names)."""
+    pretrained/exp_prnet/log names).
+
+    The argument order is MODEL-declared (``forward_arg_order``; PRNet is
+    "source_template", everything else "template_source") — no per-task
+    special case. When ``mask_model`` is given (MaskNet workflow,
+    reference examples/test_masknet.py:45-110) the template is filtered
+    through the predicted inlier mask before registration, and mask
+    precision/recall/F1 vs the dataset's gt masks join the summary."""
     import numpy as np
 
     from learning3d_tpu.data.device_pipeline import batch_iterator
-    from learning3d_tpu.train.metrics import summarize_registration
+    from learning3d_tpu.train.metrics import mask_scores, summarize_registration
 
     model.eval()
     graphdef, state = nnx.split(model)
-    prnet_order = args.task == "prnet"  # PRNet estimates src->tgt with (src, tgt) args
+    order = getattr(model, "forward_arg_order", "template_source")
 
     import jax
 
     @jax.jit
     def fwd(state, template, source):
         m = nnx.merge(graphdef, state)
-        out = m(source, template) if prnet_order else m(template, source)
+        out = m(source, template) if order == "source_template" else m(template, source)
         return out["est_T"]
 
+    if mask_model is not None:
+        mask_model.eval()
+        mask_gd, mask_state = nnx.split(mask_model)
+
+        @jax.jit
+        def mask_fwd(mask_state, template, source):
+            m = nnx.merge(mask_gd, mask_state)
+            return m(template, source)  # (masked_template, mask)
+
     est_Ts, igts, templates = [], [], []
+    mask_metrics = []
     for batch in batch_iterator(test_data, args.batch_size, shuffle=False, seed=0):
         template, source, igt = batch[0], batch[1], batch[2]
+        gt_mask = batch[3] if len(batch) > 3 else None
+        if mask_model is not None:
+            masked_template, pred_mask = mask_fwd(mask_state, template, source)
+            if gt_mask is not None:
+                mask_metrics.append(
+                    {k: float(v) for k, v in mask_scores(pred_mask, gt_mask).items()}
+                )
+            template = masked_template
         est_Ts.append(np.asarray(fwd(state, template, source)))
         igts.append(np.asarray(igt))
         templates.append(np.asarray(template)[..., :3])
-    return summarize_registration(
+    summary = summarize_registration(
         np.concatenate(est_Ts), np.concatenate(igts), np.concatenate(templates)
     )
+    if mask_metrics:
+        for k in mask_metrics[0]:
+            summary[f"mask_{k}"] = float(np.mean([m[k] for m in mask_metrics]))
+    return summary
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from learning3d_tpu.data.dataloaders import (  # noqa: F401
     SyntheticPartSegmentation,
     SyntheticModelNet40,
     SyntheticSceneflow,
+    create_random_transform,
     deg_to_rad,
     download_modelnet40,
 )

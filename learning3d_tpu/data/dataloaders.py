@@ -38,6 +38,23 @@ def deg_to_rad(deg):
     return np.pi / 180.0 * deg
 
 
+def create_random_transform(rng=None, max_rotation_deg=45.0, max_translation=1.0, dtype=np.float32):
+    """Random 7-vector pose [quat(wxyz), translation] — the public helper
+    the reference's data package exports (data_utils/__init__.py:3,
+    dataloaders.py:52-61: uniform xyz Euler in +-max_rotation_deg, uniform
+    translation in +-max_translation, quaternion via euler_to_quaternion).
+    Host-side numpy; ``rng`` is a np.random.Generator (fresh default_rng
+    when omitted, mirroring the reference's global np.random draw)."""
+    from learning3d_tpu.ops.quaternion import euler_to_quaternion
+
+    rng = np.random.default_rng() if rng is None else rng
+    max_rotation = deg_to_rad(max_rotation_deg)
+    rot = rng.uniform(-max_rotation, max_rotation, (1, 3))
+    trans = rng.uniform(-max_translation, max_translation, (1, 3))
+    quat = np.asarray(euler_to_quaternion(rot, "xyz"))
+    return np.concatenate([quat, trans], axis=1).astype(dtype)
+
+
 def download_modelnet40(root: str | os.PathLike | None = None) -> Path:
     """Download + unzip modelnet40_ply_hdf5_2048 (reference
     dataloaders.py:19-29). Requires network access; raises with a clear

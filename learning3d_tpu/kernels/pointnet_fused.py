@@ -87,6 +87,102 @@ def _pn_kernel(xt_ref, *refs, n_valid, bt, n_stages, dot_dtype):
         out_ref[j, :] = jax.nn.relu(jnp.max(z, axis=0)).astype(out_ref.dtype)
 
 
+def _pn_int8_kernel(xt_ref, *refs, n_valid, bt, n_q, dot_dtype, scales_x):
+    """int8 variant: stage 1 (3 -> C1) in ``dot_dtype``, stages 2..S as
+    int8 x int8 -> int32 MXU dots with static activation scales
+    (``scales_x``, python floats baked at trace time), requant + relu in
+    VMEM. refs = [w1, b1, (wq_i, swb_i) * n_q, out_ref]; ``swb_i`` rows
+    are [s_w * s_x; b] stacked (2, C_out) so the epilogue is one fused
+    multiply-add."""
+    w1_ref, b1_ref = refs[0], refs[1]
+    qrefs = refs[2 : 2 + 2 * n_q]
+    out_ref = refs[2 + 2 * n_q]
+    f32 = jnp.float32
+
+    for j in range(bt):
+        h = jnp.transpose(xt_ref[j]).astype(dot_dtype)  # (Np, 3)
+        z = (
+            jax.lax.dot_general(
+                h, w1_ref[...].astype(dot_dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + b1_ref[...]
+        )
+        h = jax.nn.relu(z)  # f32 (Np, C1)
+        for i in range(n_q):
+            wq = qrefs[2 * i]
+            swb = qrefs[2 * i + 1]  # (2, C_out): [s_w * s_x; b]
+            inv = 1.0 / scales_x[i]
+            hq = jnp.clip(jnp.round(h * inv), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                hq, wq[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            z = acc.astype(f32) * swb[0:1, :] + swb[1:2, :]
+            h = jax.nn.relu(z) if i < n_q - 1 else z  # last: pre-pool
+        rows = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        h = jnp.where(rows < n_valid, h, -_BIG)
+        out_ref[j, :] = jax.nn.relu(jnp.max(h, axis=0)).astype(out_ref.dtype)
+
+
+def pointnet_pooled_int8(x, w1, b1, qlayers, *, bt=8, dot_dtype=jnp.bfloat16):
+    """Fused int8 eval encoder+pool: x (B, N, 3) -> (B, emb) f32.
+
+    ``qlayers`` = list of (w_q int8 (in, out), s_w (out,), b (out,),
+    s_x float) for conv2..conv5 — the same per-channel-weight /
+    static-activation-scale scheme as learning3d_tpu/quant.py, but the
+    whole chain stays VMEM-resident and the requant/relu epilogues fuse
+    with the int8 MXU dots (no HBM round trips between stages)."""
+    B, N, _ = x.shape
+    emb = qlayers[-1][0].shape[1]
+    Np = _round_up(N, 128)
+    bt = min(bt, B)
+    Bp = _round_up(B, bt)
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    if (Bp, Np) != (B, N):
+        xt = jnp.pad(xt, ((0, Bp - B), (0, 0), (0, Np - N)))
+
+    scales_x = tuple(float(s) for _, _, _, s in qlayers)
+    args = [w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32)]
+    specs = [
+        pl.BlockSpec(args[0].shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(args[1].shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    for w_q, s_w, b, s_x in qlayers:
+        swb = jnp.stack([s_w.astype(jnp.float32) * s_x, b.astype(jnp.float32)])
+        args += [w_q, swb]
+        specs += [
+            pl.BlockSpec(w_q.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(swb.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    chain_flops = 2 * Bp * Np * (
+        w1.shape[0] * w1.shape[1] + sum(q[0].shape[0] * q[0].shape[1] for q in qlayers)
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _pn_int8_kernel,
+            n_valid=N,
+            bt=bt,
+            n_q=len(qlayers),
+            dot_dtype=dot_dtype,
+            scales_x=scales_x,
+        ),
+        grid=(Bp // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, 3, Np), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        + specs,
+        out_specs=pl.BlockSpec((bt, emb), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, emb), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=chain_flops,
+            bytes_accessed=4 * Bp * Np * 3 + 4 * Bp * emb,
+            transcendentals=0,
+        ),
+    )(xt, *args)
+    return out[:B]
+
+
 def fold_conv_bn(conv, bn):
     """Fold eval-mode BatchNorm into a biased conv: (W', b') f32 with
     relu(x @ W' + b') == relu(bn(x @ W + b)) under running stats."""
@@ -112,6 +208,7 @@ def pointnet_pooled_kernel(x, ws, bs, *, dot_dtype=jnp.bfloat16, bt=8):
     B, N, _ = x.shape
     emb = ws[-1].shape[1]
     Np = _round_up(N, 128)
+    bt = min(bt, B)  # don't pad B=1 serving calls up to 8 clouds of garbage
     Bp = _round_up(B, bt)
     xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)  # (B, 3, N)
     if (Bp, Np) != (B, N):
@@ -199,13 +296,22 @@ def pointnet_fused_ok(x, convs, bns, use_running_average=None):
     if convs[0].dtype != jnp.bfloat16 or x.shape[1] < 128:
         return False
     emb = convs[-1].out_features
-    if x.shape[1] * emb * 4 > 8 * 2**20 or emb % 128:  # (Np, emb) f32 stays in VMEM
+    # VMEM bound uses the PADDED point count: the kernel rounds N up to a
+    # multiple of 128 and the (Np, emb) f32 pre-pool block is the largest
+    # live buffer per unrolled cloud (Mosaic reuses it across the bt
+    # unroll — the chain is sequential — so bt does not multiply it).
+    n_padded = _round_up(x.shape[1], 128)
+    if n_padded * emb * 4 > 8 * 2**20 or emb % 128:
         return False
     for bn in bns:
         if bn is not None:
             ura = bn.use_running_average if use_running_average is None else use_running_average
             if not ura:
                 return False  # train-mode BN needs batch stats: unfused path
+    # NOTE: with use_bn=False there is no batch-stat dependence, so the
+    # fused path is deliberately taken in TRAIN mode too — the custom VJP
+    # recomputes the identical-math `oracle_chain`, so gradients are exact;
+    # only f32-vs-bf16 accumulation order differs from the unfused chain.
     return True
 
 

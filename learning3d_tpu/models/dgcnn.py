@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused, dgcnn_fused_ok
 from learning3d_tpu.kernels.edgeconv import get_graph_feature_fused
 
 
@@ -38,6 +39,12 @@ class DGCNN(nnx.Module):
             x = jnp.swapaxes(x, 1, 2)
         if x.shape[-1] != 3:
             raise RuntimeError("expected 3-channel point clouds")
+
+        if dgcnn_fused_ok(x, self.convs, self.bns, self.k):
+            # Eval-mode TPU bf16: the whole encoder (kNN + edge gather +
+            # 5 BN-folded conv stages + neighbor max) runs as one Pallas
+            # kernel; edge tensors never leave VMEM (kernels/dgcnn_fused.py).
+            return dgcnn_encode_fused(x, self.convs, self.bns, self.k)
 
         e = get_graph_feature_fused(x, k=self.k)  # (B, N, k, 6); Pallas on TPU
         stage_outputs = []

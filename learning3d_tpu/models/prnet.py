@@ -197,6 +197,12 @@ class KeyPointNet(nnx.Module):
 
 
 class PRNet(nnx.Module):
+    # PRNet's forward estimates src -> tgt from (source, template) — the
+    # opposite argument order of every other registration model's
+    # (template, source). Declared here so eval tooling doesn't hardcode
+    # a per-task special case (reference examples/test_prnet.py flow).
+    forward_arg_order = "source_template"
+
     def __init__(
         self,
         emb_nn: str = "dgcnn",

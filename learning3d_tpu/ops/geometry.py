@@ -105,7 +105,12 @@ def knn(points, k, include_self=True, approx=False):
     if _use_knn_pallas(points, kk, approx):
         from learning3d_tpu.kernels.knn import knn_pallas
 
-        _, idx = knn_pallas(points, points, kk)
+        # kernel has no VJP; the int indices carry no gradient anyway
+        # (same as top_k's index output), so detach the operands —
+        # without this, training through a Pallas-kNN graph fails to
+        # linearize (hit by PRNet's dynamic feature graphs, round 3)
+        p = jax.lax.stop_gradient(points)
+        _, idx = knn_pallas(p, p, kk)
     else:
         d = square_distance(points, points)
         _, idx = _select_k_smallest(d, kk, approx)
@@ -119,7 +124,12 @@ def knn_point(k, pos1, pos2, approx=False):
     if _use_knn_pallas(pos1, k, approx):
         from learning3d_tpu.kernels.knn import knn_pallas
 
-        sq, idx = knn_pallas(pos2, pos1, k)
+        # detached operands: the kernel has no VJP and every in-tree
+        # caller consumes only the indices (`_, idx = knn_point(...)`);
+        # the returned distance is therefore non-differentiable here
+        sq, idx = knn_pallas(
+            jax.lax.stop_gradient(pos2), jax.lax.stop_gradient(pos1), k
+        )
         return jnp.sqrt(jnp.maximum(sq, 0.0)), idx
     d = square_distance(pos2, pos1)
     val, idx = _select_k_smallest(d, k, approx)

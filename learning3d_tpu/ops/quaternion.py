@@ -139,7 +139,12 @@ def quat_to_axis_angle(q):
 
 
 def euler_to_quat(e, order="zyx"):
-    """Intrinsic Euler angles (..., 3) in the given axis order -> quaternion."""
+    """Intrinsic Euler angles (..., 3) in the given axis order -> quaternion.
+
+    POSITIONAL angle convention (scipy's): e[..., i] is the angle of the
+    i-th rotation in ``order``. For the reference quaternion module's
+    axis-NAME convention (e[..., 0] is always the x-angle), use
+    :func:`euler_to_quaternion`."""
     axes = {"x": jnp.array([1.0, 0, 0]), "y": jnp.array([0, 1.0, 0]), "z": jnp.array([0, 0, 1.0])}
     q = None
     for i, ax in enumerate(order):
@@ -149,25 +154,51 @@ def euler_to_quat(e, order="zyx"):
     return q
 
 
-def qeuler(q, order="zyx"):
-    """Unit quaternion -> Euler angles for the common orders (matches the
-    reference's ``qeuler`` capability, ops/quaternion.py:56-100)."""
-    w, x, y, z = jnp.moveaxis(q, -1, 0)
-    if order == "xyz":
-        ex = jnp.arctan2(2 * (x * w - y * z), 1 - 2 * (x * x + y * y))
-        ey = jnp.arcsin(jnp.clip(2 * (x * z + y * w), -1, 1))
-        ez = jnp.arctan2(2 * (z * w - x * y), 1 - 2 * (y * y + z * z))
-    elif order == "zyx":
-        ex = jnp.arctan2(2 * (x * w + y * z), 1 - 2 * (x * x + y * y))
-        ey = jnp.arcsin(jnp.clip(2 * (y * w - x * z), -1, 1))
-        ez = jnp.arctan2(2 * (x * y + z * w), 1 - 2 * (y * y + z * z))
-    elif order == "yzx":
-        ex = jnp.arctan2(2 * (x * w - y * z), 1 - 2 * (x * x + z * z))
-        ey = jnp.arctan2(2 * (y * w - x * z), 1 - 2 * (y * y + z * z))
-        ez = jnp.arcsin(jnp.clip(2 * (x * y + z * w), -1, 1))
-    else:
+def euler_to_quaternion(e, order="zyx"):
+    """Reference-exact euler -> quaternion (transform_functions.py:62-106):
+    e[..., 0]/[1]/[2] are ALWAYS the x/y/z angles (axis-name convention),
+    composed intrinsically in ``order``; even permutations (xyz/yzx/zxy)
+    are returned antipodally negated, as the reference does."""
+    perm = [_AXIS[c] for c in order]
+    q = euler_to_quat(e[..., perm], order)
+    if order in ("xyz", "yzx", "zxy"):
+        q = -q
+    return q
+
+
+_AXIS = {"x": 0, "y": 1, "z": 2}
+
+
+def qeuler(q, order="zyx", epsilon=0.0):
+    """Unit quaternion -> intrinsic Tait-Bryan angles, all 6 orders
+    (capability of reference ops/quaternion.py:56-100, incl. its
+    ``epsilon`` asin clamp). Output is always stacked as (x, y, z) angles
+    regardless of ``order``; ``order`` gives the rotation composition
+    R = R_o0 R_o1 R_o2.
+
+    Derivation (independent of the reference's per-order formulas): build
+    the rotation matrix from q, then for R = R_i(a) R_j(b) R_k(c) with
+    distinct axes and permutation sign s = +1 (even: xyz/yzx/zxy) or -1:
+        b = asin(s*m[i,k]),  a = atan2(-s*m[j,k], m[k,k]),
+        c = atan2(-s*m[i,j], m[i,i]).
+    This reproduces the reference's six branches exactly."""
+    if sorted(order) != ["x", "y", "z"]:
         raise ValueError(f"unsupported euler order {order!r}")
-    return jnp.stack([ex, ey, ez], axis=-1)
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    m = [
+        [1 - 2 * (yy + zz), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (xx + zz), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (xx + yy)],
+    ]
+    i, j, k = (_AXIS[c] for c in order)
+    s = 1.0 if (j - i) % 3 == 1 else -1.0
+    beta = jnp.arcsin(jnp.clip(s * m[i][k], -1 + epsilon, 1 - epsilon))
+    alpha = jnp.arctan2(-s * m[j][k], m[k][k])
+    gamma = jnp.arctan2(-s * m[i][j], m[i][i])
+    out = [None, None, None]
+    out[i], out[j], out[k] = alpha, beta, gamma
+    return jnp.stack(out, axis=-1)
 
 
 def qfix(q):
@@ -198,8 +229,8 @@ def qrot_np(q, v):
     return _np(qrot, q, v)
 
 
-def qeuler_np(q, order="zyx", use_gpu=False):  # use_gpu kept for API parity
-    return _np(qeuler, q, order)
+def qeuler_np(q, order="zyx", epsilon=0.0, use_gpu=False):  # use_gpu kept for API parity
+    return _np(qeuler, q, order, epsilon)
 
 
 def qfix_np(q):

@@ -110,9 +110,10 @@ def format_registration_summary(summary, stage="test"):
         "Trans_MSE", "Trans_RMSE", "Trans_MAE", "Trans_R2",
     ]
     body = ", ".join(f"{k}: {summary[k]:.6f}" for k in keys if k in summary)
-    extra = ", ".join(
-        f"{k}: {summary[k]:.6f}" for k in ("rot_deg", "trans", "point_RMSE") if k in summary
+    extra_keys = ("rot_deg", "trans", "point_RMSE") + tuple(
+        k for k in sorted(summary) if k.startswith("mask_")
     )
+    extra = ", ".join(f"{k}: {summary[k]:.6f}" for k in extra_keys if k in summary)
     return f"Stage: {stage}, {body}" + (f", {extra}" if extra else "")
 
 

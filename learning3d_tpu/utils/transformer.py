@@ -33,15 +33,21 @@ class AnnotatedLayerNorm(nnx.Module):
     difference is ~1e-3, enough to break golden parity)."""
 
     def __init__(self, features, eps=1e-6, *, dtype=None, rngs: nnx.Rngs):
-        self.a = nnx.Param(jnp.ones((features,), dtype or jnp.float32))
-        self.b = nnx.Param(jnp.zeros((features,), dtype or jnp.float32))
+        self.a = nnx.Param(jnp.ones((features,), jnp.float32))
+        self.b = nnx.Param(jnp.zeros((features,), jnp.float32))
         self.eps = eps
 
     def __call__(self, x):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True) * (x.shape[-1] / (x.shape[-1] - 1))
+        # stats in f32 (params are f32), result cast back to the stream
+        # dtype: without the cast every post-norm tensor silently upcasts
+        # to f32 and the whole transformer runs f32 (2x LN/matmul traffic).
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True) * (x.shape[-1] / (x.shape[-1] - 1))
         std = jnp.sqrt(var)
-        return self.a[...] * (x - mean) / (std + self.eps) + self.b[...]
+        return (self.a[...] * (xf - mean) / (std + self.eps) + self.b[...]).astype(
+            x.dtype
+        )
 
 
 class MultiHeadedAttention(nnx.Module):
@@ -142,7 +148,15 @@ class Transformer(nnx.Module):
         return self.dec_norm(x)
 
     def __call__(self, src_emb, tgt_emb):
-        """(B, N, E) x 2 -> (src_residual, tgt_residual)."""
+        """(B, N, E) x 2 -> (src_residual, tgt_residual).
+
+        The reference runs encoder/decoder twice with swapped roles
+        (utils/transformer.py:236-243); the two passes share weights, so
+        they COULD be stacked into one 2B-batch call. Measured (round 3,
+        v5e, B=32 N=1024 E=512 h=4): the 2B-batched variant runs 12.9 ms
+        vs 5.4 ms for two sequential B=32 passes — at 2B XLA stops keeping
+        the softmax(QK^T)V chain VMEM-resident and spills the (2B, h, N,
+        N) score tensors to HBM. Keep the two-pass form."""
         tgt_residual = self._decode(tgt_emb, self._encode(src_emb))
         src_residual = self._decode(src_emb, self._encode(tgt_emb))
         return src_residual, tgt_residual

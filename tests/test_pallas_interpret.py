@@ -144,6 +144,76 @@ class TestInterpretKernels:
         rel = np.abs(got - want).mean() / np.abs(want).mean()
         assert rel < 2e-2, rel
 
+    def test_pointnet_fused_encoder(self):
+        """Fused eval PointNet pooled encoder (folded-BN conv chain +
+        relu/max-commuted pool) vs oracle_chain AND the module's unfused
+        pooled_features path, f32 matmuls for exactness."""
+        from flax import nnx
+
+        from learning3d_tpu.kernels.pointnet_fused import (
+            fold_conv_bn,
+            oracle_chain,
+            pointnet_pooled_kernel,
+        )
+        from learning3d_tpu.models import PointNet
+
+        B, N = 3, 256  # B=3 exercises the bt=min(8,B) batch padding path
+        net = PointNet(emb_dims=128, use_bn=True, rngs=nnx.Rngs(0))
+        net.eval()
+        for bn in net.bns:
+            c = bn.mean[...].shape[0]
+            bn.mean[...] = 0.1 * jnp.arange(c, dtype=jnp.float32) / c
+            bn.var[...] = 1.0 + 0.5 * jnp.arange(c, dtype=jnp.float32) / c
+        x = jax.random.normal(jax.random.PRNGKey(8), (B, N, 3))
+        folded = [fold_conv_bn(c, bn) for c, bn in zip(net.convs, net.bns)]
+        ws = [w for w, _ in folded]
+        bs = [b for _, b in folded]
+        with _interp():
+            got = np.asarray(
+                pointnet_pooled_kernel(x, ws, bs, dot_dtype=jnp.float32)
+            )
+        oracle = np.asarray(oracle_chain(x, ws, bs, jnp.float32))
+        np.testing.assert_allclose(got, oracle, atol=2e-5, rtol=2e-5)
+        unfused = np.asarray(net.pooled_features(x))  # CPU: unfused path
+        np.testing.assert_allclose(got, unfused, atol=2e-4, rtol=2e-4)
+
+    def test_pointnet_fused_encoder_bf16(self):
+        """bf16 kernel (what the TPU serves) vs the f32 chain, and the
+        custom-VJP gradients vs differentiating the unfused path."""
+        from flax import nnx
+
+        from learning3d_tpu.kernels.pointnet_fused import (
+            fold_conv_bn,
+            oracle_chain,
+            pointnet_pooled_kernel,
+        )
+        from learning3d_tpu.models import PointNet
+
+        B, N = 2, 256
+        net = PointNet(emb_dims=128, use_bn=True, rngs=nnx.Rngs(0))
+        net.eval()
+        x = jax.random.normal(jax.random.PRNGKey(9), (B, N, 3))
+        folded = [fold_conv_bn(c, bn) for c, bn in zip(net.convs, net.bns)]
+        ws = [w for w, _ in folded]
+        bs = [b for _, b in folded]
+        want = np.asarray(oracle_chain(x, ws, bs, jnp.float32), np.float32)
+        with _interp():
+            got = np.asarray(
+                pointnet_pooled_kernel(x, ws, bs, dot_dtype=jnp.bfloat16), np.float32
+            )
+        rel = np.abs(got - want).mean() / np.abs(want).mean()
+        assert rel < 2e-2, rel
+        # the public custom-VJP entry recomputes oracle_chain in bf16:
+        # its grads must match differentiating oracle_chain directly
+        from learning3d_tpu.kernels.pointnet_fused import _fused_bf16
+
+        g_or = jax.grad(lambda x: jnp.sum(oracle_chain(x, ws, bs, jnp.bfloat16).astype(jnp.float32)))(x)
+        with _interp():
+            g_k = jax.grad(
+                lambda x: jnp.sum(_fused_bf16(x, tuple(ws), tuple(bs)).astype(jnp.float32))
+            )(x)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_or), atol=1e-5)
+
     def test_sinkhorn(self):
         from learning3d_tpu.kernels.sinkhorn import sinkhorn_log_pallas
         from learning3d_tpu.utils.rigid import sinkhorn_log

@@ -147,6 +147,46 @@ class TestOpsParity:
             np.asarray(so3.exp(t2j(w))), ref_so3.exp(w).detach().numpy(), atol=1e-5
         )
 
+    @pytest.mark.parametrize("order", ["xyz", "yzx", "zxy", "xzy", "yxz", "zyx"])
+    def test_qeuler_all_orders_match_reference(self, order):
+        """All 6 intrinsic orders + epsilon clamp (reference
+        ops/quaternion.py:56-100)."""
+        from reference.ops import quaternion as ref_quat
+
+        from learning3d_tpu.ops import quaternion as quat
+
+        torch.manual_seed(7)
+        q = torch.nn.functional.normalize(torch.randn(64, 4), dim=-1)
+        for epsilon in (0.0, 1e-3):
+            ref_e = ref_quat.qeuler(q, order, epsilon=epsilon).numpy()
+            my_e = np.asarray(quat.qeuler(t2j(q), order, epsilon=epsilon))
+            np.testing.assert_allclose(my_e, ref_e, atol=2e-5)
+
+    @pytest.mark.parametrize("order", ["xyz", "yzx", "zxy", "xzy", "yxz", "zyx"])
+    def test_euler_to_quaternion_matches_reference(self, order):
+        """Axis-name angle convention + antipodal sign flip
+        (reference ops/transform_functions.py:62-106)."""
+        from reference.ops import transform_functions as ref_tf
+
+        from learning3d_tpu.ops import quaternion as quat
+
+        e = np.random.RandomState(9).uniform(-0.8, 0.8, (16, 3))
+        ref_q = ref_tf.euler_to_quaternion(e, order)
+        my_q = np.asarray(quat.euler_to_quaternion(e, order))
+        np.testing.assert_allclose(my_q, ref_q, atol=1e-7)
+
+    def test_qeuler_gimbal_epsilon_clamp(self):
+        """epsilon keeps the asin argument off exactly +-1 at gimbal lock."""
+        from reference.ops import quaternion as ref_quat
+
+        from learning3d_tpu.ops import quaternion as quat
+
+        # 90-degree y rotation: zyx asin term hits 1 exactly
+        q = torch.tensor([[np.cos(np.pi / 4), 0.0, np.sin(np.pi / 4), 0.0]])
+        ref_e = ref_quat.qeuler(q, "zyx", epsilon=1e-4).numpy()
+        my_e = np.asarray(quat.qeuler(t2j(q), "zyx", epsilon=1e-4))
+        np.testing.assert_allclose(my_e, ref_e, atol=1e-5)
+
 
 class TestPCNParity:
     def test_coarse_output_matches(self):

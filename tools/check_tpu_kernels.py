@@ -290,6 +290,72 @@ def check_dgcnn_fused(B=8, N=1000, k=20):
     assert rel < 2e-2, rel
 
 
+def check_pointnet_int8(B=16, N=1000):
+    """Fused Pallas int8 encoder (pointnet_pooled_int8) vs the XLA
+    QuantLinear chain, on-chip (int8 MXU path)."""
+    from flax import nnx
+
+    from learning3d_tpu.models import Classifier, PointNet
+    from learning3d_tpu.quant import (
+        make_fused_quant_forward,
+        quant_forward,
+        quantize_pointnet_classifier,
+    )
+
+    model = Classifier(
+        PointNet(emb_dims=1024, use_bn=True, dtype=jnp.bfloat16, rngs=nnx.Rngs(0)),
+        num_classes=40,
+        dtype=jnp.bfloat16,
+        rngs=nnx.Rngs(1),
+    )
+    model.eval()
+    x = jax.random.normal(jax.random.PRNGKey(12), (B, N, 3))
+    qm = quantize_pointnet_classifier(model, x)
+    want = np.asarray(quant_forward(qm, x))
+    got = np.asarray(make_fused_quant_forward(qm)(x))
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    print(f"pointnet_int8: mean rel {rel:.2e} (fused Pallas vs XLA int8 chain)")
+    assert rel < 2e-2, rel
+
+
+def check_pointnet_fused(B=16, N=1000):
+    """Fused eval PointNet pooled encoder (kernels/pointnet_fused.py) vs
+    the unfused pooled_features chain, bf16 compute; exercises padding
+    (N=1000) and the bt batch unroll."""
+    from flax import nnx
+
+    from learning3d_tpu.kernels.pointnet_fused import (
+        fold_conv_bn,
+        pointnet_pooled_kernel,
+    )
+    from learning3d_tpu.models import PointNet
+
+    net = PointNet(emb_dims=1024, use_bn=True, dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    net.eval()
+    for bn in net.bns:
+        c = bn.mean[...].shape[0]
+        bn.mean[...] = 0.05 * jnp.arange(c, dtype=jnp.float32) / c
+        bn.var[...] = 1.0 + 0.3 * jnp.arange(c, dtype=jnp.float32) / c
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, N, 3))
+    folded = [fold_conv_bn(c, bn) for c, bn in zip(net.convs, net.bns)]
+    ws = [w for w, _ in folded]
+    bs = [b for _, b in folded]
+    got = np.asarray(
+        jax.jit(lambda x: pointnet_pooled_kernel(x, ws, bs, dot_dtype=jnp.bfloat16))(x),
+        np.float32,
+    )
+    import os
+
+    os.environ["L3D_NO_FUSED_POINTNET"] = "1"
+    try:
+        want = np.asarray(jax.jit(net.pooled_features)(x), np.float32)
+    finally:
+        del os.environ["L3D_NO_FUSED_POINTNET"]
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    print(f"pointnet_fused: mean rel {rel:.2e} (bf16, vs unfused pooled chain)")
+    assert rel < 2e-2, rel
+
+
 if __name__ == "__main__":
     import sys
 
@@ -301,6 +367,8 @@ if __name__ == "__main__":
     checks = [
         check_dgcnn_fused_small,
         check_dgcnn_fused,
+        check_pointnet_fused,
+        check_pointnet_int8,
         check_poolgrad,
         check_index_points_matmul,
         check_chamfer,
