@@ -15,11 +15,18 @@ from flax import nnx
 
 
 def _attention(q, k, v):
-    # NOTE (measured, round 2): the Pallas TPU flash_attention kernel is
-    # ~2x SLOWER than this einsum+softmax at DCP's shape (B=32, h=4,
-    # N=1024, d=128) — pointer 8 -> 14 ms, whole DCP 18.5 -> 36 ms — the
-    # blockwise kernel doesn't pay until far longer sequences; XLA's
-    # fused softmax chain wins in this regime. Keep the einsum path.
+    # Attention kernel history (measured, v5e, DCP shape B=32 h=4 N=1024
+    # d=128): the GENERIC Pallas flash kernel is ~2x slower than the
+    # einsum chain (round 2 — its streaming/online-softmax machinery
+    # costs more than it saves when K/V fit VMEM); the shape-specialized
+    # kernels/attention.py (whole K/V VMEM-resident, one score tile, no
+    # streaming) is 2.45x FASTER (0.58 vs 1.43 ms per attention,
+    # round 3). Dispatch it on TPU; training gets exact grads through
+    # its identical-math custom-VJP oracle.
+    from learning3d_tpu.kernels.attention import attention_fused, attention_pallas_ok
+
+    if attention_pallas_ok(q, k, v):
+        return attention_fused(q, k, v)
     d_k = q.shape[-1]
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(jnp.asarray(d_k, q.dtype))
     return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, axis=-1), v)

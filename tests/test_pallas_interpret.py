@@ -214,6 +214,42 @@ class TestInterpretKernels:
             )(x)
         np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_or), atol=1e-5)
 
+    def test_attention_kernel(self):
+        """Lean fused pointer attention (kernels/attention.py) vs the
+        identical-math oracle, incl. ragged M padding and the VJP."""
+        from learning3d_tpu.kernels.attention import (
+            attention_oracle,
+            attention_pallas,
+        )
+
+        B, H, N, M, D = 2, 2, 256, 200, 128  # M=200 exercises key padding
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(10), 3)
+        q = jax.random.normal(kq, (B, H, N, D))
+        k = jax.random.normal(kk, (B, H, M, D))
+        v = jax.random.normal(kv, (B, H, M, D))
+        want = np.asarray(attention_oracle(q, k, v), np.float32)
+        with _interp():
+            got = np.asarray(attention_pallas(q, k, v), np.float32)
+        rel = np.abs(got - want).mean() / np.abs(want).mean()
+        assert rel < 5e-3, rel
+
+    def test_attention_fused_grads_match_oracle(self):
+        from learning3d_tpu.kernels.attention import (
+            attention_fused,
+            attention_oracle,
+        )
+
+        B, H, N, D = 1, 2, 256, 128
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(kq, (B, H, N, D))
+        k = jax.random.normal(kk, (B, H, N, D))
+        v = jax.random.normal(kv, (B, H, N, D))
+        g_or = jax.grad(lambda q, k, v: jnp.sum(attention_oracle(q, k, v)), (0, 1, 2))(q, k, v)
+        with _interp():
+            g_f = jax.grad(lambda q, k, v: jnp.sum(attention_fused(q, k, v)), (0, 1, 2))(q, k, v)
+        for a, b in zip(g_f, g_or):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_sinkhorn(self):
         from learning3d_tpu.kernels.sinkhorn import sinkhorn_log_pallas
         from learning3d_tpu.utils.rigid import sinkhorn_log

@@ -290,6 +290,22 @@ def check_dgcnn_fused(B=8, N=1000, k=20):
     assert rel < 2e-2, rel
 
 
+def check_attention(B=4, H=4, N=1000, D=128):
+    """Lean fused pointer attention (kernels/attention.py) vs the
+    identical-math oracle, on-chip bf16; N=1000 exercises key padding."""
+    from learning3d_tpu.kernels.attention import attention_oracle, attention_pallas
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(kq, (B, H, N, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, H, N, D), jnp.bfloat16)
+    got = np.asarray(jax.jit(attention_pallas)(q, k, v), np.float32)
+    want = np.asarray(jax.jit(attention_oracle)(q, k, v), np.float32)
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    print(f"attention: mean rel {rel:.2e} (bf16 P@V normalize-order)")
+    assert rel < 1e-2, rel
+
+
 def check_pointnet_int8(B=16, N=1000):
     """Fused Pallas int8 encoder (pointnet_pooled_int8) vs the XLA
     QuantLinear chain, on-chip (int8 MXU path)."""
@@ -369,6 +385,7 @@ if __name__ == "__main__":
         check_dgcnn_fused,
         check_pointnet_fused,
         check_pointnet_int8,
+        check_attention,
         check_poolgrad,
         check_index_points_matmul,
         check_chamfer,
