@@ -51,16 +51,23 @@ def _edge_kernel(x_tile_ref, x_full_ref, out_ref, *, k, n_valid, tile_n):
     # are exactly representable, so only the value operand needs the split).
     xf_hi = xf_t.astype(jnp.bfloat16).astype(jnp.float32)
     xf_lo = xf_t - xf_hi
+    # two fused VPU passes per round (kernels/dgcnn_fused.py restructure):
+    # the row-min is carried; pass 1 resolves the argmin index (first
+    # match == argmin's tie order), pass 2 builds the one-hot, masks the
+    # column and reduces the next row-min in one traversal
+    m = jnp.min(d, axis=1)
     for j in range(k):
-        a = jnp.argmin(d, axis=1)  # (TN,)
-        onehot = (col == a[:, None]).astype(jnp.float32)
+        mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
+        eq = col == mi[:, None]
+        onehot = eq.astype(jnp.float32)
         nbr = jax.lax.dot_general(
             onehot, xf_hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) + jax.lax.dot_general(
             onehot, xf_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (TN, 3)
         out_ref[0, :, 3 * j : 3 * (j + 1)] = nbr
-        d = d + onehot * _BIG
+        d = jnp.where(eq, _BIG, d)
+        m = jnp.min(d, axis=1)
 
 
 def knn_neighbors_pallas(x, k, tile_n=256):

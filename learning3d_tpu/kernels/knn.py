@@ -109,22 +109,31 @@ def _knn_kernel(q_ref, p_ref, di_ref, ii_ref, *, k, n_valid):
     kp = di_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (ts, kp), 1)
 
+    # Two fused VPU passes per round (same restructure as
+    # kernels/dgcnn_fused.py, round 3): the row-min is CARRIED — pass 1
+    # resolves the argmin index from it, pass 2 masks the column and
+    # reduces the next row-min in one traversal. The (TS, kp) accumulator
+    # updates are lane-width, not N-width.
     def body(j, carry):
-        d, dacc, iacc = carry
-        m = jnp.min(d, axis=1)  # (TS,)
+        d, m, dacc, iacc = carry
         # first-match index == smallest index among ties (top_k order)
         mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
         sel = lane == j
         dacc = jnp.where(sel, m[:, None], dacc)
         iacc = jnp.where(sel, mi[:, None], iacc)
         d = jnp.where(col == mi[:, None], _BIG, d)
-        return d, dacc, iacc
+        return d, jnp.min(d, axis=1), dacc, iacc
 
-    _, dacc, iacc = jax.lax.fori_loop(
+    _, _, dacc, iacc = jax.lax.fori_loop(
         0,
         k,
         body,
-        (d, jnp.zeros((ts, kp), jnp.float32), jnp.zeros((ts, kp), jnp.int32)),
+        (
+            d,
+            jnp.min(d, axis=1),
+            jnp.zeros((ts, kp), jnp.float32),
+            jnp.zeros((ts, kp), jnp.int32),
+        ),
     )
     di_ref[0] = dacc
     ii_ref[0] = iacc

@@ -214,6 +214,21 @@ class TestInterpretKernels:
             )(x)
         np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_or), atol=1e-5)
 
+    def test_edgeconv_neighbors(self):
+        """knn_neighbors_pallas (fused kNN + coordinate gather) vs brute
+        force, incl. the 2-pass selection restructure (round 3)."""
+        from learning3d_tpu.kernels.edgeconv import knn_neighbors_pallas
+
+        B, N, k = 2, 200, 5
+        x = jax.random.normal(jax.random.PRNGKey(12), (B, N, 3))
+        with _interp():
+            got = np.asarray(knn_neighbors_pallas(x, k, tile_n=128))
+        xs = np.asarray(x)
+        d = ((xs[:, :, None] - xs[:, None]) ** 2).sum(-1)
+        idx = np.argsort(d, axis=-1, kind="stable")[..., :k]
+        want = np.take_along_axis(xs[:, None], idx[..., None], axis=2)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
     def test_attention_kernel(self):
         """Lean fused pointer attention (kernels/attention.py) vs the
         identical-math oracle, incl. ragged M padding and the VJP."""
