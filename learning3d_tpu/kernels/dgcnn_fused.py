@@ -268,3 +268,237 @@ def dgcnn_fused_ok(x, convs, bns, k):
         and bns[0].use_running_average
         and convs[0].dtype == jnp.bfloat16
     )
+
+
+# --- int8 serving variant ----------------------------------------------
+#
+# Same selection loop (exact f32 kNN), but the one-hot gathers — the
+# kernel's LARGEST matmuls, (G*TN, Np) @ (Np, C1) — and the whole conv
+# chain run int8 x int8 -> int32 on the MXU at 2x the bf16 rate:
+#
+# * the one-hot rows are exactly representable in int8, so the gather
+#   against the QUANTIZED per-point stage-1 product returns its int8
+#   rows exactly (no extra quantization error from the gather);
+# * per-stage activations are quantized with STATIC calibrated scales
+#   (calibrate_dgcnn_int8); the stage max-pool commutes with the
+#   positive per-stage scale, so kmax runs on int8 values;
+# * the per-stage dequant scales of `cat` fold into w5's ROWS before
+#   w5 is itself quantized, so stage 5 is one int8 dot as well.
+
+
+def _fused_kernel_int8(
+    xt_ref,  # (1, 3, TN) f32
+    xf_ref,  # (1, 3, Np) f32
+    xw1q_ref,  # (1, Np, C1) int8 — quantized stage-1 neighbor product
+    sx1_ref,  # (1, 1) f32 SMEM — dynamic scale of xw1q
+    wc1_ref,  # (3, C1) f32
+    b1_ref,  # (1, C1) f32
+    w2q_ref, swb2_ref,  # int8 (C1, C2), f32 (2, C2) = [s_in*s_w; b]
+    w3q_ref, swb3_ref,
+    w4q_ref, swb4_ref,
+    w5q_ref, swb5_ref,
+    out_ref,  # (1, TN, E)
+    e1_ref,  # (k*TN, C1) int8 scratch
+    oh_ref,  # (G*TN, Np) int8 scratch
+    *,
+    k,
+    group,
+    n_valid,
+    inv_s,  # (1/s1, 1/s2, 1/s3, 1/s4) static python floats
+):
+    f32 = jnp.float32
+    i8 = jnp.int8
+    xt = xt_ref[0]
+    xf = xf_ref[0]
+    d0 = xt[0][:, None] - xf[0][None, :]
+    d1 = xt[1][:, None] - xf[1][None, :]
+    d2 = xt[2][:, None] - xf[2][None, :]
+    d = d0 * d0 + d1 * d1 + d2 * d2
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d = jnp.where(col < n_valid, d, _BIG)
+
+    center = jnp.transpose(xt).astype(jnp.bfloat16)
+    c1 = (
+        jax.lax.dot_general(
+            center, wc1_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + b1_ref[...]
+    )
+    tn = xt.shape[1]
+    c1g = jnp.concatenate([c1] * group, axis=0)
+    s_xw1 = sx1_ref[0, 0]
+
+    def q(x, inv):  # f32 -> int8 with static scale
+        return jnp.clip(jnp.round(x * inv), -127, 127).astype(i8)
+
+    n_groups = k // group
+
+    def run_group(g, carry):
+        d, m = carry
+
+        def pick(j, carry):
+            d, m = carry
+            mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
+            eq = col == mi[:, None]
+            oh_ref[pl.ds(j * tn, tn), :] = eq.astype(i8)
+            d = jnp.where(eq, _BIG, d)
+            return d, jnp.min(d, axis=1)
+
+        for j in range(group):
+            carry = pick(j, carry)
+        acc = jax.lax.dot_general(
+            oh_ref[...], xw1q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # exact int8 rows of xw1q
+        z1 = jax.nn.relu(acc.astype(f32) * s_xw1 + c1g)
+        e1_ref[pl.ds(g * group * tn, group * tn), :] = q(z1, inv_s[0])
+        return carry
+
+    jax.lax.fori_loop(0, n_groups, run_group, (d, jnp.min(d, axis=1)), unroll=False)
+
+    def stage(eq_vals, wq_ref, swb_ref, inv_next):
+        acc = jax.lax.dot_general(
+            eq_vals, wq_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        z = jax.nn.relu(acc.astype(f32) * swb_ref[0:1, :] + swb_ref[1:2, :])
+        return q(z, inv_next)
+
+    def kmax(zq):  # int8 max over the k row blocks (scale-invariant)
+        s = zq[0:tn]
+        for j in range(1, k):
+            s = jnp.maximum(s, zq[j * tn : (j + 1) * tn])
+        return s
+
+    e1 = e1_ref[...]
+    z2 = stage(e1, w2q_ref, swb2_ref, inv_s[1])
+    z3 = stage(z2, w3q_ref, swb3_ref, inv_s[2])
+    z4 = stage(z3, w4q_ref, swb4_ref, inv_s[3])
+    cat = jnp.concatenate([kmax(e1), kmax(z2), kmax(z3), kmax(z4)], axis=-1)
+    acc = jax.lax.dot_general(
+        cat, w5q_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = jax.nn.relu(acc.astype(f32) * swb5_ref[0:1, :] + swb5_ref[1:2, :])
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _quantize_weight_cols(w):
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
+
+
+def calibrate_dgcnn_int8(convs, bns, k, calib_x, percentile=99.9):
+    """Static per-stage activation scales (s1..s4) from one unfused
+    forward over ``calib_x`` (B, N, 3). Host floats (one sync)."""
+    from learning3d_tpu.ops.geometry import get_graph_feature
+
+    folded = [_fold_bn(c.kernel[...], bn) for c, bn in zip(convs, bns)]
+    e = get_graph_feature(calib_x.astype(jnp.float32), k=k)  # (B, N, k, 6)
+    scales = []
+    h = e
+    for w, b in folded[:4]:
+        h = jax.nn.relu(h @ w + b)
+        a = jnp.percentile(jnp.abs(h).ravel(), percentile)
+        scales.append(float(jnp.maximum(a, 1e-6)) / 127.0)
+        # next stage consumes the QUANTIZED value — replicate the rounding
+        h = jnp.clip(jnp.round(h / scales[-1]), -127, 127) * scales[-1]
+    return tuple(scales)
+
+
+def dgcnn_encode_fused_int8(x, convs, bns, k, scales, *, tile_n=256):
+    """int8 eval DGCNN encoder: x (B, N, 3) -> (B, N, emb) bf16.
+
+    ``scales`` = (s1, s2, s3, s4) from calibrate_dgcnn_int8. The xw1
+    (stage-1 neighbor product) scale is computed dynamically on device —
+    it enters the kernel through SMEM, so no calibration is needed for
+    the input-dependent tensor."""
+    B, N, _ = x.shape
+    tile_n = min(tile_n, _round_up(N, 128))
+    folded = [_fold_bn(c.kernel[...], bn) for c, bn in zip(convs, bns)]
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4), (w5, b5) = folded
+    wn1, wc1 = w1[:3], w1[3:]
+    emb = w5.shape[1]
+    c1 = w1.shape[1]
+    s1, s2, s3, s4 = scales
+
+    xf32 = x.astype(jnp.float32)
+    xw1 = jnp.einsum(
+        "bnc,ce->bne", xf32.astype(jnp.bfloat16), wn1.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    s_xw1 = jnp.maximum(jnp.max(jnp.abs(xw1)), 1e-6) / 127.0  # dynamic, on-device
+    xw1q = jnp.clip(jnp.round(xw1 / s_xw1), -127, 127).astype(jnp.int8)
+
+    # fold the per-stage dequant scales of `cat` into w5's rows, then int8
+    row_scales = jnp.concatenate(
+        [jnp.full((w.shape[1],), s) for w, s in ((w1, s1), (w2, s2), (w3, s3), (w4, s4))]
+    )
+    w5f = w5 * row_scales[:, None]
+    w5q, s_w5 = _quantize_weight_cols(w5f)
+    w2q, s_w2 = _quantize_weight_cols(w2)
+    w3q, s_w3 = _quantize_weight_cols(w3)
+    w4q, s_w4 = _quantize_weight_cols(w4)
+    swb = lambda s_in, s_w, b: jnp.stack([jnp.full_like(b, s_in) * s_w, b])
+    swb2 = swb(s1, s_w2, b2)
+    swb3 = swb(s2, s_w3, b3)
+    swb4 = swb(s3, s_w4, b4)
+    swb5 = jnp.stack([s_w5, b5])  # row scales already folded into w5
+
+    Np = _round_up(N, tile_n)
+    xt = jnp.swapaxes(xf32, 1, 2)
+    if Np != N:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, Np - N)))
+        xw1q = jnp.pad(xw1q, ((0, 0), (0, Np - N), (0, 0)))
+
+    group = max((g for g in range(min(k, 6), 0, -1) if k % g == 0), default=1)
+    grid = (B, Np // tile_n)
+    c2, c3, c4 = w2.shape[1], w3.shape[1], w4.shape[1]
+    const = lambda shape: pl.BlockSpec(shape, lambda b, i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel_int8,
+            k=k,
+            group=group,
+            n_valid=N,
+            inv_s=tuple(1.0 / s for s in scales),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Np), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, c1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            const((3, c1)), const((1, c1)),
+            const((c1, c2)), const((2, c2)),
+            const((c2, c3)), const((2, c3)),
+            const((c3, c4)), const((2, c4)),
+            const((c1 + c2 + c3 + c4, emb)), const((2, emb)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_n, emb), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Np, emb), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((k * tile_n, c1), jnp.int8),
+            pltpu.VMEM((group * tile_n, Np), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Np * (3 + k * _round_up(c1, 128)) // 2
+            + B * Np * k * (c1 * c2 + c2 * c3 + c3 * c4),
+            bytes_accessed=4 * B * Np * 3 + B * Np * c1 + 2 * B * Np * emb,
+            transcendentals=0,
+        ),
+    )(
+        xt,
+        xt,
+        xw1q,
+        s_xw1.reshape(1, 1),
+        wc1, b1.reshape(1, -1),
+        w2q, swb2,
+        w3q, swb3,
+        w4q, swb4,
+        w5q, swb5,
+    )
+    return out[:, :N]

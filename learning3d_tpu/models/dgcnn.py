@@ -23,6 +23,9 @@ class DGCNN(nnx.Module):
         self.input_shape = input_shape
         self.emb_dims = emb_dims
         self.k = k
+        # set by quant.quantize_dcp (static tuple of per-stage activation
+        # scales): routes eval to the int8 fused encoder kernel
+        self.int8_scales = None
         dims = [(6, 64), (64, 64), (64, 128), (128, 256), (512, emb_dims)]
         self.convs = nnx.List([
             nnx.Linear(i, o, use_bias=False, dtype=dtype, rngs=rngs) for i, o in dims
@@ -41,6 +44,14 @@ class DGCNN(nnx.Module):
             raise RuntimeError("expected 3-channel point clouds")
 
         if dgcnn_fused_ok(x, self.convs, self.bns, self.k):
+            if self.int8_scales is not None:
+                # int8 serving mode (quant.quantize_dcp): int8 one-hot
+                # gathers + int8 conv chain on the int8 MXU
+                from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused_int8
+
+                return dgcnn_encode_fused_int8(
+                    x, self.convs, self.bns, self.k, self.int8_scales
+                )
             # Eval-mode TPU bf16: the whole encoder (kNN + edge gather +
             # 5 BN-folded conv stages + neighbor max) runs as one Pallas
             # kernel; edge tensors never leave VMEM (kernels/dgcnn_fused.py).

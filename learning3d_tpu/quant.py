@@ -304,3 +304,21 @@ def quantize_pointnet_classifier(model, calib_x, percentile=99.99):
         head.append(QuantLinear(w_q, s_w, b, s_x))
         g = jax.nn.relu(g @ w + b)
     return QuantPointNetClassifier(w1, b1, enc, head, w_out, b_out)
+
+
+def quantize_dcp(model, calib_template, calib_source):
+    """Full int8 DCP serving mode: int8 pointer projections/FF
+    (quantize_dcp_pointer) + the int8 fused DGCNN encoder kernel
+    (kernels/dgcnn_fused.dgcnn_encode_fused_int8, dispatched on TPU when
+    the clone's encoder carries ``int8_scales``). Returns a clone; the
+    original model is untouched."""
+    from learning3d_tpu.kernels.dgcnn_fused import calibrate_dgcnn_int8
+    from learning3d_tpu.models.dgcnn import DGCNN
+
+    clone = quantize_dcp_pointer(model, calib_template, calib_source)
+    if isinstance(clone.emb_nn, DGCNN):
+        calib = jnp.concatenate([calib_template, calib_source], axis=0)
+        clone.emb_nn.int8_scales = calibrate_dgcnn_int8(
+            clone.emb_nn.convs, clone.emb_nn.bns, clone.emb_nn.k, calib
+        )
+    return clone

@@ -214,6 +214,32 @@ class TestInterpretKernels:
             )(x)
         np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_or), atol=1e-5)
 
+    def test_dgcnn_fused_int8(self):
+        """int8 serving variant of the fused DGCNN encoder vs the float
+        module: calibrated static scales, int8 one-hot gathers, folded
+        stage scales in w5. PTQ tolerance, not exactness."""
+        from flax import nnx
+
+        from learning3d_tpu.kernels.dgcnn_fused import (
+            calibrate_dgcnn_int8,
+            dgcnn_encode_fused_int8,
+        )
+        from learning3d_tpu.models import DGCNN
+
+        B, N, k = 2, 256, 5
+        net = DGCNN(emb_dims=64, k=k, rngs=nnx.Rngs(0))
+        net.eval()
+        x = jax.random.normal(jax.random.PRNGKey(13), (B, N, 3))
+        want = np.asarray(net(x), np.float32)
+        scales = calibrate_dgcnn_int8(net.convs, net.bns, k, x)
+        with _interp():
+            got = np.asarray(
+                dgcnn_encode_fused_int8(x, net.convs, net.bns, k, scales),
+                np.float32,
+            )
+        rel = np.abs(got - want).mean() / np.abs(want).mean()
+        assert rel < 0.06, rel
+
     def test_edgeconv_neighbors(self):
         """knn_neighbors_pallas (fused kNN + coordinate gather) vs brute
         force, incl. the 2-pass selection restructure (round 3)."""

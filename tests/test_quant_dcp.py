@@ -53,3 +53,20 @@ class TestQuantDCP:
         tr = np.clip((np.trace(dR, axis1=-2, axis2=-1) - 1) / 2, -1, 1)
         deg = np.degrees(np.arccos(tr))
         assert deg.max() < 5.0, deg
+
+    def test_full_quantize_dcp(self):
+        """quantize_dcp = pointer surgery + encoder int8_scales; on CPU
+        the encoder guard keeps the float path (int8 encoder is
+        TPU-dispatch), but the scales are installed and the clone runs."""
+        from learning3d_tpu.quant import quantize_dcp
+
+        model = DCP(DGCNN(emb_dims=128, rngs=nnx.Rngs(0)), rngs=nnx.Rngs(1))
+        model.eval()
+        t = jax.random.normal(jax.random.PRNGKey(4), (2, 128, 3))
+        s = jax.random.normal(jax.random.PRNGKey(5), (2, 128, 3))
+        qmodel = quantize_dcp(model, t, s)
+        assert qmodel.emb_nn.int8_scales is not None
+        assert len(qmodel.emb_nn.int8_scales) == 4
+        assert model.emb_nn.int8_scales is None  # original untouched
+        out = qmodel(t, s)
+        assert np.isfinite(np.asarray(out["est_T"], np.float32)).all()
