@@ -59,22 +59,28 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
 
 
 def attention_pallas(q, k, v, tile_n=256):
-    """softmax(q k^T / sqrt(d)) v for (B, H, N, D) inputs, full
-    (unmasked) attention. K/V live in VMEM whole; exact softmax (f32
-    scores, bf16 matmul operands — matches the TPU einsum path dtypes)."""
+    """softmax(q k^T / sqrt(d)) v for (B, H, N, D) q/k and (B, H, M, Dv)
+    v (Dv may differ — e.g. the SVD head attends embeddings onto xyz
+    coordinates). Full (unmasked) attention; K/V live in VMEM whole;
+    exact softmax (f32 scores, bf16 matmul operands — matches the TPU
+    einsum path dtypes)."""
     B, H, N, D = q.shape
     M = k.shape[2]
+    Dv = v.shape[3]
     scale = 1.0 / (D**0.5)
     Np = _round_up(N, tile_n)
     Mp = _round_up(M, 128)
+    Dvp = _round_up(Dv, 128)
     qf = q.reshape(B * H, N, D)
     kf = k.reshape(B * H, M, D)
-    vf = v.reshape(B * H, M, D)
+    vf = v.reshape(B * H, M, Dv)
     if Np != N:
         qf = jnp.pad(qf, ((0, 0), (0, Np - N), (0, 0)))
     if Mp != M:
         kf = jnp.pad(kf, ((0, 0), (0, Mp - M), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, Mp - M), (0, 0)))
+    if Dvp != Dv:
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, Dvp - Dv)))
 
     grid = (B * H, Np // tile_n)
     out = pl.pallas_call(
@@ -83,19 +89,19 @@ def attention_pallas(q, k, v, tile_n=256):
         in_specs=[
             pl.BlockSpec((1, tile_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Mp, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, Dvp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, tile_n, Dvp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, Np, Dvp), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Np * Mp * D,
-            bytes_accessed=2 * B * H * (2 * Np * D + 2 * Mp * D),
+            flops=2 * B * H * Np * Mp * (D + Dvp),
+            bytes_accessed=2 * B * H * (2 * Np * D + Mp * (D + Dvp)),
             transcendentals=B * H * Np * Mp,
         ),
     )(qf, kf, vf)
-    return out[:, :N].reshape(B, H, N, D)
+    return out[:, :N, :Dv].reshape(B, H, N, Dv)
 
 
 def attention_oracle(q, k, v):
@@ -151,7 +157,7 @@ def attention_pallas_ok(q, k, v):
         not os.environ.get("L3D_NO_PALLAS_ATTN")
         and jax.default_backend() == "tpu"
         and D % 128 == 0
-        and D <= 256
+        and D <= 512
         and 256 <= M <= 4096
         and N >= 256
     )

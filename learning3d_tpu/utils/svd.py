@@ -43,11 +43,24 @@ class SVDHead(nnx.Module):
 
     def __call__(self, src_emb, tgt_emb, src, tgt):
         """src_emb/tgt_emb (B, N, E); src/tgt (B, N, 3) -> (R, t, corr)."""
-        d_k = src_emb.shape[-1]
-        scores = jnp.einsum("bne,bme->bnm", src_emb, tgt_emb) / jnp.sqrt(
-            jnp.asarray(d_k, src_emb.dtype)
+        from learning3d_tpu.kernels.attention import (
+            attention_fused,
+            attention_pallas_ok,
         )
-        scores = jax.nn.softmax(scores, axis=-1)
-        src_corr = jnp.einsum("bnm,bmc->bnc", scores, tgt)
+
+        q, k = src_emb[:, None], tgt_emb[:, None]
+        v = tgt[..., :3][:, None].astype(src_emb.dtype)
+        if attention_pallas_ok(q, k, v):
+            # the soft correspondence IS single-head attention with xyz
+            # values — ride the fused kernel ((B, N, N) scores never
+            # reach HBM); exact grads via its custom-VJP oracle
+            src_corr = attention_fused(q, k, v)[:, 0]
+        else:
+            d_k = src_emb.shape[-1]
+            scores = jnp.einsum("bne,bme->bnm", src_emb, tgt_emb) / jnp.sqrt(
+                jnp.asarray(d_k, src_emb.dtype)
+            )
+            scores = jax.nn.softmax(scores, axis=-1)
+            src_corr = jnp.einsum("bnm,bmc->bnc", scores, tgt[..., :3])
         R, t = procrustes_from_correspondence(src.astype(jnp.float32), src_corr.astype(jnp.float32))
         return R, t, src_corr

@@ -273,6 +273,13 @@ class TestInterpretKernels:
             got = np.asarray(attention_pallas(q, k, v), np.float32)
         rel = np.abs(got - want).mean() / np.abs(want).mean()
         assert rel < 5e-3, rel
+        # separate value dim (SVD-head use: xyz values, Dv=3)
+        v3 = jax.random.normal(kv, (B, H, M, 3))
+        want3 = np.asarray(attention_oracle(q, k, v3), np.float32)
+        with _interp():
+            got3 = np.asarray(attention_pallas(q, k, v3), np.float32)
+        rel3 = np.abs(got3 - want3).mean() / np.abs(want3).mean()
+        assert rel3 < 5e-3, rel3
 
     def test_attention_fused_grads_match_oracle(self):
         from learning3d_tpu.kernels.attention import (
