@@ -26,6 +26,9 @@ DEFAULT_EXPS = {
     "r3_dcp": ("dcp", "dcp", "rigid registration"),
     "r3_ipcrnet_cosine": ("ipcrnet", "ipcrnet", "iterative registration"),
     "r3_masknet": ("masknet", "masknet", "inlier mask estimation"),
+    "r3_pointnet_cls": ("pointnet", "classification", "40-class classification (augment + label-smoothing recipe)"),
+    "r3_pcn": ("pcn", "pcn", "point-cloud completion (coarse + folding)"),
+    "r3_flownet": ("flownet", "flow", "scene-flow estimation"),
 }
 
 README_TMPL = """# releases — trained checkpoints
