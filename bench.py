@@ -180,6 +180,40 @@ def bench_dcp(batch=32, points=1024, dtype=jnp.bfloat16):
     return batch / per
 
 
+def bench_dcp_int8(batch=32, points=1024):
+    """Full int8 DCP serving mode (learning3d_tpu/quant.py:quantize_dcp):
+    int8 pointer projections/FF + int8 fused DGCNN encoder kernel.
+    Output closeness vs the bf16 model is pinned by tests/test_quant_dcp.py;
+    the registration-metric delta of a TRAINED DCP is recorded in
+    docs/runs/ (round-3 campaign eval)."""
+    from learning3d_tpu.models import DCP, DGCNN
+    from learning3d_tpu.quant import quantize_dcp
+
+    model = DCP(
+        DGCNN(emb_dims=512, dtype=jnp.bfloat16, rngs=nnx.Rngs(0)),
+        dtype=jnp.bfloat16,
+        rngs=nnx.Rngs(1),
+    )
+    model.eval()
+    t = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (batch, points, 3), jnp.float32)
+    qm = quantize_dcp(model, t[:8], s[:8])
+    graphdef, state = nnx.split(qm)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n, state, t, s):
+        m = nnx.merge(graphdef, state)
+
+        def body(i, acc):
+            # both clouds vary per iteration (see bench_dcp's note)
+            return acc + jnp.sum(m(t + 1e-4 * i, s + 2e-4 * i)["est_T"])
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = _timed_per_iter(lambda n: many(n, state, t, s), iters=21, tag=f"dcp-int8 B={batch}")
+    return batch / per
+
+
 def bench_pointnet_train(batch=256, points=1024, dtype=jnp.bfloat16):
     """Full training step (forward + backward + adam update + BN batch
     stats), K steps inside one fori_loop, difference-quotient timing."""
@@ -286,10 +320,17 @@ def main():
         "effective_tflops": round(value * _FLOPS_PER_CLOUD_PN / 1e12, 1),
     }
     if not args.no_dcp:
-        # the second north-star workload (BASELINE.md): DCP registration
-        dcp = bench_dcp(batch=args.dcp_batch)
+        # the second north-star workload (BASELINE.md): DCP registration.
+        # Headline = best serving configuration (int8 PTQ vs bf16); int8
+        # closeness is pinned by tests/test_quant_dcp.py and the trained-
+        # model registration delta recorded in docs/runs/.
+        dcp_bf16 = bench_dcp(batch=args.dcp_batch)
+        dcp_int8 = bench_dcp_int8(batch=args.dcp_batch)
+        dcp = max(dcp_bf16, dcp_int8)
         result["dcp_clouds_per_sec"] = round(dcp, 1)
         result["dcp_vs_baseline"] = round(dcp / _H100_BASELINE_DCP, 3)
+        result["dcp_precision"] = "int8-ptq" if dcp_int8 >= dcp_bf16 else "bf16"
+        result["dcp_bf16_clouds_per_sec"] = round(dcp_bf16, 1)
     if args.train:
         result["pointnet_train_clouds_per_sec"] = round(
             bench_pointnet_train(args.batch, args.points), 1

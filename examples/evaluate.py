@@ -34,6 +34,13 @@ def main():
         "filtered by the predicted inlier mask and mask P/R/F1 is reported "
         "(reference examples/test_masknet.py workflow)",
     )
+    p.add_argument(
+        "--quantize",
+        action="store_true",
+        help="also evaluate the int8 PTQ serving mode (learning3d_tpu/quant.py) "
+        "of the loaded checkpoint and print the metric delta vs bf16 "
+        "(supported: --task dcp, --task classification)",
+    )
     args = p.parse_args()
 
     from learning3d_tpu.train import TrainConfig, Trainer
@@ -82,6 +89,55 @@ def main():
         from learning3d_tpu.train.metrics import format_registration_summary
 
         print(format_registration_summary(summary))
+        if args.quantize and args.task == "dcp":
+            # int8 PTQ serving-mode delta on the TRAINED checkpoint — the
+            # accuracy-parity evidence bench.py's dcp headline cites.
+            from learning3d_tpu.data.device_pipeline import batch_iterator
+            from learning3d_tpu.quant import quantize_dcp
+
+            calib = next(
+                iter(batch_iterator(test_data, min(args.batch_size, 8), shuffle=False, seed=0))
+            )
+            qmodel = quantize_dcp(model, calib[0][..., :3], calib[1][..., :3])
+            q_summary = evaluate_registration(qmodel, test_data, args, mask_model=mask_model)
+            print("int8-ptq " + format_registration_summary(q_summary))
+    elif args.quantize and args.task == "classification":
+        evaluate_classification_quantized(model, test_data, args)
+
+
+def evaluate_classification_quantized(model, test_data, args):
+    """bf16-vs-int8 top-1 accuracy of the loaded Classifier(PointNet)
+    checkpoint (the PTQ parity evidence for bench.py's headline;
+    same recipe tests/test_quant.py pins on a freshly-trained model)."""
+    import jax
+    import numpy as np
+
+    from learning3d_tpu.data.device_pipeline import batch_iterator
+    from learning3d_tpu.quant import quantize_pointnet_classifier
+
+    model.eval()
+    first = next(iter(batch_iterator(test_data, args.batch_size, shuffle=False, seed=0)))
+    qm = quantize_pointnet_classifier(model, first[0][: min(args.batch_size, 64)])
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def logits_bf16(state, x):
+        return nnx.merge(graphdef, state)(x)
+
+    q_fwd = jax.jit(lambda qm, x: qm(x))
+    n = hits = qhits = agree = 0
+    for batch in batch_iterator(test_data, args.batch_size, shuffle=False, seed=0):
+        x, y = batch[0], np.asarray(batch[1]).reshape(-1)
+        p = np.asarray(logits_bf16(state, x)).argmax(-1)
+        pq = np.asarray(q_fwd(qm, x)).argmax(-1)
+        hits += (p == y).sum()
+        qhits += (pq == y).sum()
+        agree += (p == pq).sum()
+        n += len(y)
+    print(
+        f"bf16_acc={hits / n:.4f} int8_acc={qhits / n:.4f} "
+        f"top1_agreement={agree / n:.4f} (n={n})"
+    )
 
 
 def evaluate_registration(model, test_data, args, mask_model=None):
