@@ -140,3 +140,71 @@ class InferenceEngine:
         if self.output_key is not None and isinstance(out, dict):
             return out[self.output_key]
         return out
+
+
+class TemplateRegistrar:
+    """One-template-many-sources registration serving.
+
+    The dominant production registration pattern (localize scans against a
+    reference model) keeps the template fixed across requests. For models
+    exposing ``encode()``/``register_encoded()`` (DCP, models/dcp.py) the
+    template's encoder pass — ~2.65 ms of DCP's ~15 ms forward — is
+    computed ONCE here and broadcast inside the jitted program, so every
+    request pays only source-encode + pointer + head.
+
+        reg = TemplateRegistrar(dcp_model, template_cloud, batch_size=32)
+        out = reg(sources)          # (n, N, 3) any n -> dict, est_* maps
+                                    # each source onto the cached template
+
+    Works with the int8 serving clone too (quant.quantize_dcp output).
+    """
+
+    def __init__(self, model, template, batch_size: int = 32):
+        model.eval()
+        self._graphdef, self._state = nnx.split(model)
+        self.batch_size = int(batch_size)
+        t = jnp.asarray(np.asarray(template), jnp.float32)
+        if t.ndim == 2:
+            t = t[None]
+        if t.ndim != 3 or t.shape[0] != 1:
+            raise ValueError("template must be one (N, 3) cloud")
+        graphdef = self._graphdef
+
+        @jax.jit
+        def enc(state, t):
+            return nnx.merge(graphdef, state).encode(t)
+
+        self._template = t
+        self._temb = enc(self._state, t)  # (1, N, E) cached encoder pass
+
+        @jax.jit
+        def reg(state, template, temb, source):
+            m = nnx.merge(graphdef, state)
+            b = source.shape[0]
+            return m.register_encoded(
+                jnp.broadcast_to(template, (b,) + template.shape[1:]),
+                jnp.broadcast_to(temb, (b,) + temb.shape[1:]),
+                source,
+            )
+
+        self._reg = reg
+
+    def __call__(self, sources):
+        sources = np.asarray(sources, np.float32)
+        if sources.ndim == 2:
+            sources = sources[None]
+        n = sources.shape[0]
+        bs = self.batch_size
+        pieces = []
+        for lo in range(0, n, bs):
+            chunk = sources[lo : lo + bs]
+            got = chunk.shape[0]
+            if got < bs:  # pad the tail to keep the compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bs - got,) + chunk.shape[1:], chunk.dtype)]
+                )
+            out = self._reg(self._state, self._template, self._temb, chunk)
+            pieces.append(jax.tree.map(lambda a: np.asarray(a[:got]), out))
+        if len(pieces) == 1:
+            return pieces[0]
+        return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces)

@@ -100,3 +100,27 @@ class TestQuantServing:
         assert out.shape == (7, 10)
         ref = np.asarray(qm(jnp.asarray(x)))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestTemplateRegistrar:
+    def test_cached_template_matches_full_forward(self):
+        """TemplateRegistrar's cached-encoder registration == the plain
+        DCP forward, including tail-padded chunks (serve.py pattern)."""
+        from learning3d_tpu.serve import TemplateRegistrar
+
+        dgcnn = models.DGCNN(emb_dims=32, k=4, rngs=nnx.Rngs(0))
+        model = models.DCP(dgcnn, rngs=nnx.Rngs(1))
+        model.eval()
+        template = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (24, 3)))
+        sources = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (5, 24, 3)))
+
+        reg = TemplateRegistrar(model, template, batch_size=2)
+        out = reg(sources)
+        assert out["est_T"].shape == (5, 4, 4)
+
+        t_b = jnp.broadcast_to(jnp.asarray(template)[None], sources.shape)
+        want = jax.tree.map(np.asarray, model(t_b, jnp.asarray(sources)))
+        np.testing.assert_allclose(out["est_T"], want["est_T"], atol=1e-4)
+        np.testing.assert_allclose(
+            out["transformed_source"], want["transformed_source"], atol=1e-4
+        )
