@@ -137,6 +137,9 @@ def main():
                    help="on-device rotate/scale/jitter augmentation (classification)")
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off); non-finite "
+                   "steps are always skipped (TrainConfig.skip_nonfinite)")
     p.add_argument("--nearest_neighbors", type=int, default=20)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", default="")
@@ -162,6 +165,7 @@ def main():
         augment=args.augment,
         label_smoothing=args.label_smoothing,
         weight_decay=args.weight_decay,
+        grad_clip_norm=args.grad_clip,
     )
     model = build_model(args.model, args, nnx.Rngs(args.seed))
     trainer = Trainer(cfg, model)

@@ -31,6 +31,12 @@ class TrainConfig:
     accum_steps: int = 1  # gradient accumulation: microbatches per optimizer update
     remat: bool = False  # jax.checkpoint the forward: trade recompute for HBM
     label_smoothing: float = 0.0  # CurveNet/DGCNN cal_loss epsilon
+    grad_clip_norm: float = 0.0  # >0: clip grads to this global L2 norm
+    # failure detection: a non-finite gradient (exploding SVD/gumbel step)
+    # zeroes the update instead of poisoning the params forever — the
+    # run continues from finite weights (r3 PRNet NaN'd at epoch 22/70
+    # without this; docs/runs/ has the post-guard convergence log)
+    skip_nonfinite: bool = True
 
     # checkpointing
     ckpt_dir: str = "checkpoints"

@@ -111,6 +111,31 @@ class Trainer:
             loss_fn_ = nnx.remat(lambda m, b, k: base_loss_fn(m, b, k))
         accum = max(int(getattr(config, "accum_steps", 1) or 1), 1)
 
+        clip = float(getattr(config, "grad_clip_norm", 0.0) or 0.0)
+        skip_nonfinite = bool(getattr(config, "skip_nonfinite", True))
+
+        def guard_grads(grads):
+            """Global-norm clip + non-finite step skip (zero the update so
+            params stay finite; Adam moments decay one step, which is the
+            standard optax.apply_if_finite trade-off)."""
+            if clip <= 0.0 and not skip_nonfinite:
+                return grads
+            leaves = jax.tree.leaves(grads)
+            sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
+            gnorm = jnp.sqrt(sq)
+            scale = jnp.float32(1.0)
+            if clip > 0.0:
+                scale = jnp.minimum(scale, clip / jnp.maximum(gnorm, 1e-12))
+            ok = jnp.isfinite(gnorm) if skip_nonfinite else jnp.bool_(True)
+
+            def fix(g):
+                g32 = g.astype(jnp.float32) * scale
+                # nan*0 == nan: non-finite steps must be where'd out, not scaled
+                g32 = jnp.where(ok, g32, jnp.zeros_like(g32))
+                return g32.astype(g.dtype)
+
+            return jax.tree.map(fix, grads)
+
         @nnx.jit
         def train_step(model, optimizer, batch, key):
             if augment_fn is not None:  # fused into the jitted step
@@ -122,7 +147,7 @@ class Trainer:
                     return loss_fn_(m, batch, key)
 
                 (loss, aux), grads = nnx.value_and_grad(lf, has_aux=True)(model)
-                optimizer.update(model, grads)
+                optimizer.update(model, guard_grads(grads))
                 return loss, aux
 
             # gradient accumulation: split the batch into `accum` equal
@@ -151,7 +176,7 @@ class Trainer:
             loss = loss * inv
             aux = jax.tree.map(lambda a: a * inv if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, aux)
             grads = jax.tree.map(lambda a: a * inv, grads)
-            optimizer.update(model, grads)
+            optimizer.update(model, guard_grads(grads))
             return loss, aux
 
         @nnx.jit
