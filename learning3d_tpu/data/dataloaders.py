@@ -303,6 +303,15 @@ class RegistrationData:
         self.use_rri = (
             algorithm == "DeepGMR" and self.additional_params.get("nearest_neighbors", 0) > 0
         )
+        # Torch-DataLoader semantics: the reference's DCP/PRNet/RPMNet/
+        # PointNetLK/DeepGMR loaders draw a FRESH random transform (and
+        # crop/jitter) on every __getitem__ call, so each epoch trains on
+        # new pairs; only PCRNet fixes one transform per index
+        # (reference transform_functions.py:199). Trainer.fit calls
+        # set_epoch(ep) per training epoch; epoch 0 (the default, and
+        # what eval uses) reproduces the old deterministic pairs.
+        self.resample_per_epoch = algorithm not in ("PCRNet", "iPCRNet")
+        self._epoch = 0
 
         # per-algorithm transform parameters (dataloaders.py:264-283)
         if algorithm in ("PCRNet", "iPCRNet"):
@@ -316,6 +325,11 @@ class RegistrationData:
 
     def __len__(self):
         return len(self.data_class)
+
+    def set_epoch(self, epoch):
+        """Advance the per-epoch transform stream (no-op for PCRNet-family
+        loaders, which keep the reference's fixed per-index transforms)."""
+        self._epoch = int(epoch) if self.resample_per_epoch else 0
 
     def _sample_transform(self, rng):
         from scipy.spatial.transform import Rotation
@@ -357,8 +371,11 @@ class RegistrationData:
         template = np.asarray(template, dtype=np.float32)
         # PCRNet keeps a fixed transform per index for reproducibility
         # (transform_functions.py:199); we get the same property by
-        # seeding with the index.
-        rng = np.random.default_rng(self.seed * 1_000_003 + index)
+        # seeding with the index. Everything else folds in the epoch set
+        # by set_epoch() so training sees fresh pairs every epoch.
+        rng = np.random.default_rng(
+            self.seed * 1_000_003 + index + self._epoch * 7_777_777
+        )
         igt = self._sample_transform(rng)
         xyz = template[:, :3]
         source = (xyz @ igt[:3, :3].T + igt[:3, 3]).astype(np.float32)

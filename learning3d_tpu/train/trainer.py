@@ -242,6 +242,11 @@ class Trainer:
     def _epoch(self, dataset, train: bool):
         step_fn = self._train_step if train else self._eval_step
         self.model.train() if train else self.model.eval()
+        if train and hasattr(dataset, "set_epoch"):
+            # fresh registration pairs per epoch (torch DataLoader
+            # semantics — see RegistrationData.set_epoch); eval datasets
+            # are never advanced, so test metrics stay comparable.
+            dataset.set_epoch(self.epoch)
         # Queue every step asynchronously and fetch once at epoch end —
         # a per-step float() costs a full host round-trip (tens of ms on
         # tunneled TPU attachments), which would dominate the step time.

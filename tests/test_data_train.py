@@ -37,6 +37,33 @@ class TestData:
             _, source2, igt2 = ds[3]
             np.testing.assert_array_equal(igt, igt2)
 
+    def test_registration_epoch_resampling(self):
+        """Torch-DataLoader semantics: DCP-family loaders draw a fresh
+        transform per epoch (Trainer.fit calls set_epoch); PCRNet keeps
+        the reference's fixed per-index transform
+        (transform_functions.py:199). Epoch 0 reproduces the old pairs."""
+        from learning3d_tpu.data import RegistrationData, SyntheticModelNet40
+
+        base = SyntheticModelNet40(num_points=128, size=16)
+        ds = RegistrationData(algorithm="DCP", data_class=base)
+        t0, _, igt0 = ds[5]
+        ds.set_epoch(3)
+        t3, s3, igt3 = ds[5]
+        assert not np.allclose(igt0, igt3)  # fresh pair
+        np.testing.assert_array_equal(t0, t3)  # same underlying cloud
+        np.testing.assert_allclose(  # igt contract still holds
+            t3 @ igt3[:3, :3].T + igt3[:3, 3], s3, atol=1e-4
+        )
+        ds.set_epoch(0)
+        _, _, igt0b = ds[5]
+        np.testing.assert_array_equal(igt0, igt0b)  # reproducible stream
+
+        pc = RegistrationData(algorithm="PCRNet", data_class=base)
+        _, _, p0 = pc[5]
+        pc.set_epoch(7)
+        _, _, p7 = pc[5]
+        np.testing.assert_array_equal(p0, p7)  # PCRNet: epoch is a no-op
+
     def test_registration_partial_and_noise(self):
         from learning3d_tpu.data import RegistrationData, SyntheticModelNet40
 
