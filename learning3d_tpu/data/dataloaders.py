@@ -189,6 +189,29 @@ class SyntheticModelNet40:
             r = a * (1 - h)
             pts = np.stack([r * np.cos(theta), r * np.sin(theta), b * (2 * h - 1)], -1)
         pts = pts.astype(np.float32)
+        # Break the primitives' rotational/reflective self-symmetry.
+        # Real ModelNet40 objects (chairs, planes) admit no rotational
+        # self-maps, but bare ellipsoids/cylinders/cones/boxes do — which
+        # makes part of any registration ground truth fundamentally
+        # unrecoverable from geometry (mean unobservable twist ~23 deg ->
+        # a ~17 deg rotation-error floor; see
+        # docs/runs/ipcrnet_plateau_diagnosis.log). A faithful stand-in
+        # superimposes a few CLASS-keyed radial bumps: deterministic per
+        # label (part of the class geometry, identical for train/test
+        # samples of the class), at generic directions, so every
+        # rotation/reflection self-map is destroyed and single-digit
+        # rotation errors become achievable, as on the real dataset.
+        crng = np.random.default_rng(1_000_000_007 + 31 * label)
+        centers = crng.standard_normal((3, 3)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        amps = (0.25 + 0.15 * crng.random(3)).astype(np.float32)
+        widths = (0.25 + 0.2 * crng.random(3)).astype(np.float32)
+        radial = pts / (np.linalg.norm(pts, axis=1, keepdims=True) + 1e-6)
+        bump = np.zeros((pts.shape[0], 1), np.float32)
+        for c, amp, w in zip(centers, amps, widths):
+            d2 = np.sum((radial - c) ** 2, -1, keepdims=True)
+            bump += amp * np.exp(-d2 / w)
+        pts += bump.astype(np.float32) * radial
         pts += 0.02 * rng.standard_normal(pts.shape).astype(np.float32)
         # normalize to unit sphere like ModelNet40 preprocessing
         pts -= pts.mean(0, keepdims=True)
