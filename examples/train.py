@@ -103,8 +103,11 @@ def build_dataset(args, train):
         "masknet": "DCP",
     }[args.task]
     extra = {}
-    if args.task == "deepgmr":
-        extra["nearest_neighbors"] = args.nearest_neighbors
+    # deepgmr: RRI features are computed ON DEVICE inside the jitted step
+    # (models/deepgmr.py) — do NOT precompute them per item on the host
+    # (a device round trip per cloud on tunneled attachments). The host
+    # path (RegistrationData additional_params nearest_neighbors>0) stays
+    # for reference-contract parity.
     if args.task == "masknet":
         # reference train_masknet.py:157: partial SOURCE; the gt mask marks
         # which template-ordered points survive in the partial source

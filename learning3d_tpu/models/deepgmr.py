@@ -175,6 +175,22 @@ class DeepGMR(nnx.Module):
         appended (the dataloader contract, dataloaders.py:317-321)."""
         template = to_bnc(template, self.input_shape)
         source = to_bnc(source, self.input_shape)
+        if self.use_rri and template.shape[-1] == 3:
+            # TPU-native path: RRI computed on device INSIDE the jitted
+            # step, batched over B. The reference precomputes RRI per
+            # item in the DataLoader (dataloaders.py:317-321); on a
+            # tunneled accelerator that host path costs a device round
+            # trip per cloud and serializes with compute. Same features
+            # (ops.geometry.get_rri, centered like the host contract).
+            from learning3d_tpu.ops.geometry import get_rri
+
+            k = self.nearest_neighbors
+            template = jnp.concatenate(
+                [template, get_rri(template - template.mean(1, keepdims=True), k)], -1
+            )
+            source = jnp.concatenate(
+                [source, get_rri(source - source.mean(1, keepdims=True), k)], -1
+            )
         if self.use_rri:
             template_xyz, template_feats = template[..., :3], template[..., 3:]
             source_xyz, source_feats = source[..., :3], source[..., 3:]

@@ -153,6 +153,36 @@ class TestRegistration:
         check_reg_result(result)
         assert "est_T_inverse" in result
 
+    def test_deepgmr_on_device_rri_matches_host_path(self):
+        """use_rri DeepGMR fed raw (B, N, 3) computes RRI inside the
+        forward (TPU-native path) and must match the reference dataloader
+        contract of precomputed host RRI appended to the xyz columns."""
+        import numpy as np
+
+        from learning3d_tpu.data.dataloaders import get_rri_numpy
+
+        k = 6
+        net = models.DeepGMR(
+            use_rri=True, nearest_neighbors=k, d_model=64, n_clusters=8,
+            rngs=nnx.Rngs(0),
+        )
+        net.eval()
+        t, s = clouds(0), clouds(1)
+        feats = []
+        for cloud in (t, s):
+            f = np.stack(
+                [
+                    get_rri_numpy(np.asarray(c) - np.asarray(c).mean(0), k)
+                    for c in cloud
+                ]
+            )
+            feats.append(jnp.concatenate([cloud, jnp.asarray(f)], -1))
+        out_dev = net(t, s)
+        out_host = net(feats[0], feats[1])
+        np.testing.assert_allclose(
+            np.asarray(out_dev["est_T"]), np.asarray(out_host["est_T"]), atol=2e-5
+        )
+
     def test_prnet_contract_and_loss(self):
         net = models.PRNet(
             emb_dims=64, num_keypoints=32, num_subsampled_points=48, num_iters=2,
