@@ -22,6 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 DEFAULT_EXPS = {
     # exp_name: (model, task, load hint)
+    "r3c_dcp": (
+        "dcp", "dcp",
+        "rigid registration (per-epoch pair resampling + symmetry-broken synthetic set)",
+    ),
+    "r3c_deepgmr": ("deepgmr", "deepgmr", "GMM registration (on-device RRI)"),
     "r3_prnet": ("prnet", "prnet", "partial-to-partial registration, 1024->768"),
     "r3_dcp": ("dcp", "dcp", "rigid registration"),
     "r3_ipcrnet_cosine": ("ipcrnet", "ipcrnet", "iterative registration"),
