@@ -21,6 +21,7 @@ Run directly: python bench.py [--batch 256] [--points 1024] [--all]
 import argparse
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -307,7 +308,12 @@ def main():
     # Headline = the int8 PTQ serving configuration (TPU-native int8 MXU;
     # accuracy parity pinned by tests/test_quant.py). The bf16 path is
     # reported alongside — it's the training-numerics forward.
-    value_int8 = bench_pointnet_cls_int8(args.batch, args.points)
+    try:
+        value_int8 = bench_pointnet_cls_int8(args.batch, args.points)
+    except Exception as e:  # degrade to bf16 on int8-path regressions
+        print(f"[bench] pointnet-int8 failed, falling back to bf16: {e!r}"[:500],
+              file=sys.stderr)
+        value_int8 = 0.0
     value_bf16 = bench_pointnet_cls(args.batch, args.points)
     value = max(value_int8, value_bf16)
     result = {
@@ -325,7 +331,14 @@ def main():
         # closeness is pinned by tests/test_quant_dcp.py and the trained-
         # model registration delta recorded in docs/runs/.
         dcp_bf16 = bench_dcp(batch=args.dcp_batch)
-        dcp_int8 = bench_dcp_int8(batch=args.dcp_batch)
+        try:
+            dcp_int8 = bench_dcp_int8(batch=args.dcp_batch)
+        except Exception as e:  # a kernel/toolchain regression in the
+            # int8 path must degrade the headline to bf16, never kill
+            # the whole bench (the driver parses the one JSON line)
+            print(f"[bench] dcp-int8 failed, falling back to bf16: {e!r}"[:500],
+                  file=sys.stderr)
+            dcp_int8 = 0.0
         dcp = max(dcp_bf16, dcp_int8)
         result["dcp_clouds_per_sec"] = round(dcp, 1)
         result["dcp_vs_baseline"] = round(dcp / _H100_BASELINE_DCP, 3)

@@ -365,11 +365,15 @@ def _fused_kernel_int8(
         z = jax.nn.relu(acc.astype(f32) * swb_ref[0:1, :] + swb_ref[1:2, :])
         return q(z, inv_next)
 
-    def kmax(zq):  # int8 max over the k row blocks (scale-invariant)
-        s = zq[0:tn]
+    def kmax(zq):  # max over the k row blocks (scale-invariant).
+        # Accumulate in int32: some libtpu/Mosaic versions cannot
+        # legalize arith.maxsi on int8 vectors (seen 2026-08: "failed to
+        # legalize operation 'arith.maxsi'" on vector<8x128x4xi8>); the
+        # widen/narrow is free on the VPU relative to the int8 dots.
+        s = zq[0:tn].astype(jnp.int32)
         for j in range(1, k):
-            s = jnp.maximum(s, zq[j * tn : (j + 1) * tn])
-        return s
+            s = jnp.maximum(s, zq[j * tn : (j + 1) * tn].astype(jnp.int32))
+        return s.astype(zq.dtype)
 
     e1 = e1_ref[...]
     z2 = stage(e1, w2q_ref, swb2_ref, inv_s[1])
