@@ -308,12 +308,14 @@ def main():
     # Headline = the int8 PTQ serving configuration (TPU-native int8 MXU;
     # accuracy parity pinned by tests/test_quant.py). The bf16 path is
     # reported alongside — it's the training-numerics forward.
+    int8_error = None
     try:
         value_int8 = bench_pointnet_cls_int8(args.batch, args.points)
     except Exception as e:  # degrade to bf16 on int8-path regressions
         print(f"[bench] pointnet-int8 failed, falling back to bf16: {e!r}"[:500],
               file=sys.stderr)
         value_int8 = 0.0
+        int8_error = repr(e)[:300]
     value_bf16 = bench_pointnet_cls(args.batch, args.points)
     value = max(value_int8, value_bf16)
     result = {
@@ -325,6 +327,10 @@ def main():
         "pointnet_cls_bf16_clouds_per_sec": round(value_bf16, 1),
         "effective_tflops": round(value * _FLOPS_PER_CLOUD_PN / 1e12, 1),
     }
+    if int8_error is not None:
+        # surface headline-path degradation in the JSON (not just stderr)
+        # so the driver/CI can alert instead of reading a clean bf16 run
+        result["int8_error"] = int8_error
     if not args.no_dcp:
         # the second north-star workload (BASELINE.md): DCP registration.
         # Headline = best serving configuration (int8 PTQ vs bf16); int8
@@ -339,6 +345,7 @@ def main():
             print(f"[bench] dcp-int8 failed, falling back to bf16: {e!r}"[:500],
                   file=sys.stderr)
             dcp_int8 = 0.0
+            result["dcp_int8_error"] = repr(e)[:300]
         dcp = max(dcp_bf16, dcp_int8)
         result["dcp_clouds_per_sec"] = round(dcp, 1)
         result["dcp_vs_baseline"] = round(dcp / _H100_BASELINE_DCP, 3)

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--nearest_neighbors", type=int, default=20)
     p.add_argument("--noise", action="store_true")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--dataset_size", type=int, default=2048,
+                   help="SyntheticModelNet40 item count — match the training run's")
+    p.add_argument("--param_jitter", type=float, default=0.0,
+                   help="synthetic per-item shape jitter — match the training run's")
     p.add_argument(
         "--masknet_ckpt",
         default="",

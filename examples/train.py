@@ -79,7 +79,12 @@ def build_dataset(args, train):
         )
     except Exception as e:
         print(f"[data] ModelNet40 unavailable ({e}); using SyntheticModelNet40")
-        base = SyntheticModelNet40(train=train, num_points=args.num_points)
+        base = SyntheticModelNet40(
+            train=train,
+            num_points=args.num_points,
+            size=getattr(args, "dataset_size", 2048),
+            param_jitter=getattr(args, "param_jitter", 0.0),
+        )
 
     if args.task == "segmentation":
         from learning3d_tpu.data import SegmentationData, SyntheticPartSegmentation
@@ -147,6 +152,18 @@ def main():
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", default="")
     p.add_argument("--ckpt_dir", default="checkpoints")
+    p.add_argument("--dataset_size", type=int, default=2048,
+                   help="SyntheticModelNet40 item count (synthetic fallback only)")
+    p.add_argument("--param_jitter", type=float, default=0.0,
+                   help="per-item relative shape-parameter jitter of the "
+                   "synthetic set (intra-class diversity for heavy classifiers)")
+    p.add_argument("--transfer_ptnet", default="",
+                   help="exp_name whose exported feature_model initializes this "
+                   "model's encoder (the reference's PointNetLK workflow: "
+                   "train_pointnetlk.py --transfer_ptnet, pretrained/exp_pnlk)")
+    p.add_argument("--export_feature", action="store_true",
+                   help="after training, export just the feature_model for "
+                   "transfer (reference train_pointnet.py ptnet export)")
     args = p.parse_args()
 
     from learning3d_tpu.train import TrainConfig, Trainer
@@ -171,10 +188,34 @@ def main():
         grad_clip_norm=args.grad_clip,
     )
     model = build_model(args.model, args, nnx.Rngs(args.seed))
+    if args.transfer_ptnet:
+        # Initialize the encoder from an exported feature_model checkpoint
+        # (Trainer.export_feature_model): the reference's signature
+        # PointNetLK recipe trains the classifier first and transfers its
+        # PointNet (pretrained/exp_pnlk/run.log:1 --transfer_ptnet).
+        import jax
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _P
+
+        sub = model.feature_model
+        path = _P(args.ckpt_dir).resolve() / args.transfer_ptnet / "feature_model" / "model"
+        with ocp.StandardCheckpointer() as ck:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), nnx.state(sub)
+            )
+            nnx.update(sub, ck.restore(path, abstract))
+        print(f"[transfer] feature_model initialized from {path}")
     trainer = Trainer(cfg, model)
     train_data = build_dataset(args, train=True)
     test_data = build_dataset(args, train=False)
     trainer.fit(train_data, test_data)
+    if args.export_feature:
+        try:  # export the BEST snapshot's encoder, not the last epoch's
+            trainer.load("best")
+        except Exception:
+            pass
+        trainer.export_feature_model()
+        print(f"[transfer] exported feature_model under {cfg.exp_name}/feature_model")
 
 
 if __name__ == "__main__":

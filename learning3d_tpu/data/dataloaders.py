@@ -148,17 +148,44 @@ class SyntheticModelNet40:
     """Procedural stand-in for ModelNet40 when the archive is unavailable
     (zero-egress environments). 40 classes of parametric primitives with
     class-dependent shape statistics — learnable, deterministic per index,
-    same item contract as ModelNet40Data."""
+    same item contract as ModelNet40Data.
 
-    def __init__(self, train=True, num_points=1024, size=2048, num_classes=40, seed=0, unseen=False):
+    ``param_jitter`` (default off) perturbs each ITEM's aspect-ratio
+    parameters by a uniform relative factor, adding true intra-class
+    shape diversity — the knob that keeps high-capacity classifiers
+    (CurveNet) from memorizing a small ``size``. The class-keyed
+    symmetry-breaking bumps stay deterministic per label either way, so
+    registration ground truth remains identifiable.
+    """
+
+    # Dataset-version tag recorded in Trainer meta.json and release
+    # manifests: metrics from different versions are NOT comparable.
+    #   1 = bare primitives (round <=3 session 2; rotational self-maps
+    #       make part of registration gt unrecoverable)
+    #   2 = + class-keyed symmetry-breaking radial bumps (round 3 s3)
+    # param_jitter != 0 or a non-default size is appended to the tag by
+    # ``version_tag`` since they also change the distribution.
+    VERSION = 2
+
+    def __init__(self, train=True, num_points=1024, size=2048, num_classes=40, seed=0,
+                 unseen=False, param_jitter=0.0):
         self.num_points = num_points
         self.size = size
         self.num_classes = num_classes
         self.seed = seed + (0 if train else 1_000_003)
+        self.param_jitter = float(param_jitter)
         self.shapes = SHAPE_NAMES[:num_classes]
         # unseen split: restrict the label range like the reference's flag
         self.label_offset = 0 if (not unseen or train) else num_classes // 2
         self.label_range = num_classes // 2 if unseen else num_classes
+
+    def version_tag(self):
+        tag = f"synthetic-v{self.VERSION}"
+        if self.param_jitter:
+            tag += f"+jitter{self.param_jitter:g}"
+        if self.size != 2048:
+            tag += f"+size{self.size}"
+        return tag
 
     def __len__(self):
         return self.size
@@ -171,6 +198,13 @@ class SyntheticModelNet40:
         # class-dependent aspect ratios make classes separable
         a = 0.3 + 0.7 * ((label * 37 % 40) / 40.0)
         b = 0.3 + 0.7 * ((label * 17 % 40) / 40.0)
+        if self.param_jitter:
+            # per-ITEM relative jitter of the shape parameters (rng is the
+            # per-index generator, so deterministic per item): intra-class
+            # diversity for the heavy classifiers. Bounded so classes stay
+            # separable (the a/b class grid step is ~0.018).
+            a *= 1.0 + self.param_jitter * (2.0 * rng.random() - 1.0)
+            b *= 1.0 + self.param_jitter * (2.0 * rng.random() - 1.0)
         if kind == 0:  # ellipsoid surface
             theta, phi = 2 * np.pi * u, np.arccos(2 * v - 1)
             pts = np.stack(

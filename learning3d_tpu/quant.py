@@ -211,55 +211,245 @@ class QuantizedLinear(nnx.Module):
 
 
 class _AmaxRecorder:
-    """Wraps a Linear during the calibration pass, recording max|input|."""
+    """Wraps a Linear during the calibration pass, recording max|input|
+    and max|output| (the output amax is the post-projection activation
+    scale the int8 attention core needs)."""
 
     def __init__(self, inner):
         self.inner = inner
         self.amax = 0.0
+        self.amax_out = 0.0
 
     def __call__(self, x):
         self.amax = max(self.amax, float(jnp.max(jnp.abs(x.astype(jnp.float32)))))
-        return self.inner(x)
+        y = self.inner(x)
+        self.amax_out = max(
+            self.amax_out, float(jnp.max(jnp.abs(y.astype(jnp.float32))))
+        )
+        return y
 
 
-def _pointer_linears(pointer):
-    """(owner, attr) pairs of every Linear in the co-attention pointer."""
+def _requant(y, s):
+    """f32 -> int8 at static scale s (fused by XLA into the producing
+    GEMM's epilogue)."""
+    return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+
+class QuantMHA(nnx.Module):
+    """Serving-mode int8 multi-head attention (drop-in for
+    utils.transformer.MultiHeadedAttention, eval only).
+
+    The whole block runs on the int8 MXU (2x the bf16 rate on v5e):
+      * ONE quantization of the block input feeds both the Q and the
+        merged KV projection (the per-Linear surgery this replaces paid
+        one f32 quantization HBM pass per projection — 4 per MHA);
+      * projections requantize to int8 in their GEMM epilogue, so the
+        attention core (kernels/attention.attention_int8) takes int8
+        q/k/v directly: int8 QK^T, exact f32 softmax, P requantized per
+        row at the exact scale 127 (rowmax(P) == 1), int8 PV;
+      * the output projection consumes the attention output as int8.
+    Static scales are calibrated by _AmaxRecorder during the float
+    calibration pass. Training never sees this module — the bf16
+    custom-VJP oracle path stays (utils/transformer._attention).
+    Reference semantics: utils/transformer.py:219-243 (DCP pointer).
+    """
+
+    def __init__(self, mha, rec_q, rec_k, rec_v, rec_o, int8_pv=False):
+        self.h = mha.h
+        self.d_k = mha.d_k
+        self.int8_pv = bool(int8_pv)  # int8 PV matmul (fast, lossy on flat rows)
+        wq = mha.wq.kernel[...].astype(jnp.float32)
+        wk = mha.wk.kernel[...].astype(jnp.float32)
+        wv = mha.wv.kernel[...].astype(jnp.float32)
+        wo = mha.wo.kernel[...].astype(jnp.float32)
+
+        def bias(lin, d):
+            return (
+                lin.bias[...].astype(jnp.float32)
+                if lin.bias is not None
+                else jnp.zeros((d,), jnp.float32)
+            )
+
+        wq_q, s_wq = quantize_weight(wq)
+        wkv_q, s_wkv = quantize_weight(jnp.concatenate([wk, wv], axis=1))
+        wo_q, s_wo = quantize_weight(wo)
+        self.wq_q = nnx.Variable(wq_q)
+        self.s_wq = nnx.Variable(s_wq)
+        self.bq = nnx.Variable(bias(mha.wq, wq.shape[1]))
+        self.wkv_q = nnx.Variable(wkv_q)
+        self.s_wkv = nnx.Variable(s_wkv)
+        self.bkv = nnx.Variable(
+            jnp.concatenate([bias(mha.wk, wk.shape[1]), bias(mha.wv, wv.shape[1])])
+        )
+        self.wo_q = nnx.Variable(wo_q)
+        self.s_wo = nnx.Variable(s_wo)
+        self.bo = nnx.Variable(bias(mha.wo, wo.shape[1]))
+        # static python-float activation scales (baked into the jaxpr and
+        # the Pallas kernel closure — nnx treats them as graphdef statics)
+        self.s_in_q = max(rec_q.amax, 1e-6) / 127.0
+        self.s_in_kv = max(rec_k.amax, 1e-6) / 127.0
+        self.s_q = max(rec_q.amax_out, 1e-6) / 127.0
+        self.s_k = max(rec_k.amax_out, 1e-6) / 127.0
+        self.s_v = max(rec_v.amax_out, 1e-6) / 127.0
+        self.s_att = max(rec_o.amax, 1e-6) / 127.0
+        self.out_dtype = mha.wo.dtype or jnp.float32
+
+    def _project(self, x_q, s_in, w_q, s_w, b, s_out):
+        acc = jax.lax.dot_general(
+            x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return _requant(acc.astype(jnp.float32) * (s_in * s_w) + b, s_out)
+
+    def __call__(self, query, key, value):
+        from learning3d_tpu.kernels.attention import attention_int8
+
+        B, N, _ = query.shape
+        d = self.h * self.d_k
+        x_q = quantize_activation(query, self.s_in_q)
+        if key is query:  # self-attention: reuse the quantized input
+            kv_src, s_in = x_q, self.s_in_q
+        else:  # cross-attention: quantize the memory once for K and V
+            kv_src, s_in = quantize_activation(key, self.s_in_kv), self.s_in_kv
+        # K and V share one merged int8 GEMM; the requant epilogue has
+        # per-section scales so the attention core gets clean int8 heads
+        s_kv = jnp.concatenate(
+            [jnp.full((d,), self.s_k, jnp.float32), jnp.full((d,), self.s_v, jnp.float32)]
+        )
+        acc = jax.lax.dot_general(
+            kv_src, self.wkv_q[...], (((kv_src.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        kv = _requant(
+            (acc.astype(jnp.float32) * (s_in * self.s_wkv[...]) + self.bkv[...]) / s_kv,
+            1.0,
+        )
+        q_i8 = self._project(
+            x_q, self.s_in_q, self.wq_q[...], self.s_wq[...], self.bq[...], self.s_q
+        )
+
+        def split(t, n):
+            return jnp.swapaxes(t.reshape(B, n, self.h, self.d_k), 1, 2)
+
+        M = key.shape[1]
+        o = attention_int8(
+            split(q_i8, N), split(kv[..., :d], M), split(kv[..., d:], M),
+            self.s_q, self.s_k, self.s_v, int8_pv=self.int8_pv,
+        )  # (B, h, N, d_k) bf16
+        o = jnp.swapaxes(o, 1, 2).reshape(B, N, d)
+        o_q = quantize_activation(o, self.s_att)
+        acc = jax.lax.dot_general(
+            o_q, self.wo_q[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * (self.s_att * self.s_wo[...]) + self.bo[...]
+        return out.astype(self.out_dtype)
+
+
+class QuantFF(nnx.Module):
+    """Serving-mode int8 feed-forward (drop-in for
+    utils.transformer.FeedForward, eval only): quantize once -> int8
+    GEMM -> relu+requant epilogue -> int8 GEMM -> stream dtype."""
+
+    def __init__(self, ff, rec1, rec2):
+        w1 = ff.w1.kernel[...].astype(jnp.float32)
+        w2 = ff.w2.kernel[...].astype(jnp.float32)
+        w1_q, s_w1 = quantize_weight(w1)
+        w2_q, s_w2 = quantize_weight(w2)
+        self.w1_q = nnx.Variable(w1_q)
+        self.s_w1 = nnx.Variable(s_w1)
+        self.b1 = nnx.Variable(
+            ff.w1.bias[...].astype(jnp.float32)
+            if ff.w1.bias is not None
+            else jnp.zeros((w1.shape[1],), jnp.float32)
+        )
+        self.w2_q = nnx.Variable(w2_q)
+        self.s_w2 = nnx.Variable(s_w2)
+        self.b2 = nnx.Variable(
+            ff.w2.bias[...].astype(jnp.float32)
+            if ff.w2.bias is not None
+            else jnp.zeros((w2.shape[1],), jnp.float32)
+        )
+        self.s_in = max(rec1.amax, 1e-6) / 127.0
+        self.s_h = max(rec2.amax, 1e-6) / 127.0
+        self.out_dtype = ff.w2.dtype or jnp.float32
+
+    def __call__(self, x):
+        x_q = quantize_activation(x, self.s_in)
+        acc = jax.lax.dot_general(
+            x_q, self.w1_q[...], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        h = jax.nn.relu(
+            acc.astype(jnp.float32) * (self.s_in * self.s_w1[...]) + self.b1[...]
+        )
+        h_q = _requant(h, self.s_h)
+        acc = jax.lax.dot_general(
+            h_q, self.w2_q[...], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * (self.s_h * self.s_w2[...]) + self.b2[...]
+        return out.astype(self.out_dtype)
+
+
+def _pointer_blocks(pointer):
+    """(owner, attr, kind) triples of every MHA/FF block in the pointer."""
     out = []
     for layer in list(pointer.enc_layers):
-        out += [(layer.self_attn, a) for a in ("wq", "wk", "wv", "wo")]
-        out += [(layer.ff, a) for a in ("w1", "w2")]
+        out += [(layer, "self_attn", "mha"), (layer, "ff", "ff")]
     for layer in list(pointer.dec_layers):
-        out += [(layer.self_attn, a) for a in ("wq", "wk", "wv", "wo")]
-        out += [(layer.cross_attn, a) for a in ("wq", "wk", "wv", "wo")]
-        out += [(layer.ff, a) for a in ("w1", "w2")]
+        out += [
+            (layer, "self_attn", "mha"),
+            (layer, "cross_attn", "mha"),
+            (layer, "ff", "ff"),
+        ]
     return out
 
 
-def quantize_dcp_pointer(model, calib_template, calib_source):
-    """Serving-mode DCP: int8 projections/FF in the co-attention pointer.
+def quantize_dcp_pointer(model, calib_template, calib_source, int8_pv=False):
+    """Serving-mode DCP: int8 co-attention pointer (the FULL compute
+    core, not just the Linears).
 
-    Returns a CLONE of ``model`` (eval mode) whose pointer Linears are
-    QuantizedLinear (per-channel int8 weights, static activation scales
-    calibrated on one forward over the calib pair). The attention
-    softmax chain, DGCNN encoder and SVD head keep their existing
-    (bf16/Pallas) paths — the projections and feed-forwards are 687 of
-    the pointer's 1100 GFLOP at B=32 N=1024.
+    Returns a CLONE of ``model`` (eval mode) whose pointer MHA blocks are
+    QuantMHA (merged int8 KV projection, int8 QK^T / PV attention core
+    via kernels/attention.attention_int8, int8 output projection) and
+    whose feed-forwards are QuantFF — together ~1.1 TFLOP of the 1.35
+    TFLOP DCP forward at B=32 N=1024 moves to the int8 MXU. LayerNorms
+    and the SVD head stay f32/bf16 (<1% of FLOPs, precision-critical).
 
-    Accuracy evidence: tests/test_quant.py pins output closeness; the
-    registration-metric delta of a TRAINED DCP is recorded in
-    docs/runs/ (round-3 campaign)."""
+    Accuracy evidence: tests/test_quant_dcp.py pins output closeness; the
+    registration-metric delta of a TRAINED DCP is recorded in docs/runs/
+    (round-3: int8 matched bf16 Rot_RMSE to the 3rd decimal)."""
     clone = nnx.merge(*nnx.split(model))
     clone.eval()
-    sites = _pointer_linears(clone.pointer)
-    recorders = []
-    for owner, attr in sites:
-        recorders.append(_AmaxRecorder(getattr(owner, attr)))
-    for (owner, attr), rec in zip(sites, recorders):
-        setattr(owner, attr, rec)
+    sites = _pointer_blocks(clone.pointer)
+    recs = {}
+    for owner, attr, kind in sites:
+        inner = getattr(owner, attr)
+        if kind == "mha":
+            r = {a: _AmaxRecorder(getattr(inner, a)) for a in ("wq", "wk", "wv", "wo")}
+            for a, rec in r.items():
+                setattr(inner, a, rec)
+        else:
+            r = {a: _AmaxRecorder(getattr(inner, a)) for a in ("w1", "w2")}
+            for a, rec in r.items():
+                setattr(inner, a, rec)
+        recs[id(inner)] = (inner, r)
     clone(calib_template, calib_source)  # calibration pass (eager)
-    for (owner, attr), rec in zip(sites, recorders):
-        s_x = max(rec.amax, 1e-6) / 127.0
-        setattr(owner, attr, QuantizedLinear(rec.inner, s_x))
+    for owner, attr, kind in sites:
+        inner = getattr(owner, attr)
+        _, r = recs[id(inner)]
+        if kind == "mha":
+            for a, rec in r.items():  # restore before wrapping
+                setattr(inner, a, rec.inner)
+            setattr(
+                owner, attr,
+                QuantMHA(inner, r["wq"], r["wk"], r["wv"], r["wo"], int8_pv=int8_pv),
+            )
+        else:
+            for a, rec in r.items():
+                setattr(inner, a, rec.inner)
+            setattr(owner, attr, QuantFF(inner, r["w1"], r["w2"]))
     return clone
 
 
@@ -306,16 +496,17 @@ def quantize_pointnet_classifier(model, calib_x, percentile=99.99):
     return QuantPointNetClassifier(w1, b1, enc, head, w_out, b_out)
 
 
-def quantize_dcp(model, calib_template, calib_source):
-    """Full int8 DCP serving mode: int8 pointer projections/FF
-    (quantize_dcp_pointer) + the int8 fused DGCNN encoder kernel
+def quantize_dcp(model, calib_template, calib_source, int8_pv=False):
+    """Full int8 DCP serving mode: int8 co-attention pointer
+    (quantize_dcp_pointer: int8 projections/FF + int8 QK^T attention
+    core) + the int8 fused DGCNN encoder kernel
     (kernels/dgcnn_fused.dgcnn_encode_fused_int8, dispatched on TPU when
     the clone's encoder carries ``int8_scales``). Returns a clone; the
     original model is untouched."""
     from learning3d_tpu.kernels.dgcnn_fused import calibrate_dgcnn_int8
     from learning3d_tpu.models.dgcnn import DGCNN
 
-    clone = quantize_dcp_pointer(model, calib_template, calib_source)
+    clone = quantize_dcp_pointer(model, calib_template, calib_source, int8_pv=int8_pv)
     if isinstance(clone.emb_nn, DGCNN):
         calib = jnp.concatenate([calib_template, calib_source], axis=0)
         clone.emb_nn.int8_scales = calibrate_dgcnn_int8(

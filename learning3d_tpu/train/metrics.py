@@ -11,8 +11,21 @@ import jax.numpy as jnp
 
 
 def rotation_error_deg(R_pred, R_gt):
-    """Geodesic rotation error in degrees, (B,)."""
-    M = jnp.einsum("bij,bkj->bik", R_pred, R_gt)  # R_pred R_gt^T
+    """Geodesic rotation error in degrees, (B,).
+
+    f32 + HIGHEST matmul precision: at the default TPU bf16 precision the
+    trace picks up ~1e-3 error, which arccos amplifies into a ~1-degree
+    floor — enough to mask sub-degree convergence in the trainer logs
+    (round-3 DeepGMR logged 1.29 deg where the f64 host metric said 0.099).
+    """
+    import jax
+
+    M = jnp.einsum(
+        "bij,bkj->bik",
+        R_pred.astype(jnp.float32),
+        R_gt.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # R_pred R_gt^T
     tr = jnp.trace(M, axis1=-2, axis2=-1)
     cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(cos))

@@ -44,7 +44,17 @@ def pointnetlk(model, batch, key):
     return loss, registration_errors(out["est_T"], igt)
 
 
-rpmnet = pointnetlk  # same loss (reference train_rpmnet.py:60)
+def rpmnet(model, batch, key):
+    """Same loss as PointNetLK (reference train_rpmnet.py:85) but with the
+    reference's 2-iteration training recipe (train_rpmnet.py:60
+    --num_iterations 2; RPMNet's forward cuts gradients between
+    iterations, models/rpmnet.py, so both iterations train)."""
+    template, source, igt = batch
+    out = model(template, source, max_iterations=2)
+    loss = losses.frobenius_norm_loss(out["est_T"], igt) + losses.rmse_features_loss(
+        out["r"]
+    )
+    return loss, registration_errors(out["est_T"], igt)
 
 
 def ipcrnet(model, batch, key):

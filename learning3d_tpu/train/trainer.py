@@ -44,6 +44,18 @@ class IOStream:
         self.f.close()
 
 
+def _dataset_version(ds, depth=4):
+    """Distribution tag of the (possibly wrapped) dataset: walks the
+    ``data_class``/``base`` chain for a ``version_tag()`` provider
+    (SyntheticModelNet40). None for real/untagged datasets."""
+    while ds is not None and depth > 0:
+        if hasattr(ds, "version_tag"):
+            return ds.version_tag()
+        ds = getattr(ds, "data_class", getattr(ds, "base", None))
+        depth -= 1
+    return None
+
+
 def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     if cfg.cosine_decay:
         sched = optax.cosine_decay_schedule(cfg.lr, cfg.epochs * max(steps_per_epoch, 1))
@@ -203,6 +215,10 @@ class Trainer:
             if self.optimizer is not None:
                 ck.save(path / "opt", nnx.state(self.optimizer), force=True)
         meta = {"epoch": self.epoch, "best_loss": self.best_loss}
+        if getattr(self, "dataset_version", None):
+            # synthetic-dataset distribution tag (ADVICE r3): evals against
+            # checkpoints trained on a different version are not comparable
+            meta["dataset_version"] = self.dataset_version
         (path / "meta.json").parent.mkdir(parents=True, exist_ok=True)
         (path / "meta.json").write_text(json.dumps(meta))
 
@@ -242,11 +258,13 @@ class Trainer:
     def _epoch(self, dataset, train: bool):
         step_fn = self._train_step if train else self._eval_step
         self.model.train() if train else self.model.eval()
-        if train and hasattr(dataset, "set_epoch"):
-            # fresh registration pairs per epoch (torch DataLoader
-            # semantics — see RegistrationData.set_epoch); eval datasets
-            # are never advanced, so test metrics stay comparable.
-            dataset.set_epoch(self.epoch)
+        if hasattr(dataset, "set_epoch"):
+            # fresh registration pairs per TRAIN epoch (torch DataLoader
+            # semantics — see RegistrationData.set_epoch); eval always
+            # pins epoch 0 so metrics stay comparable across runs even
+            # when the same dataset object was previously advanced by a
+            # training pass (e.g. evaluating the train split post-fit).
+            dataset.set_epoch(self.epoch if train else 0)
         # Queue every step asynchronously and fetch once at epoch end —
         # a per-step float() costs a full host round-trip (tens of ms on
         # tunneled TPU attachments), which would dominate the step time.
@@ -278,6 +296,7 @@ class Trainer:
 
     def fit(self, train_data, test_data=None, epochs=None):
         epochs = self.cfg.epochs if epochs is None else epochs
+        self.dataset_version = _dataset_version(train_data)
         steps = max(len(train_data) // self.cfg.batch_size, 1)
         if self.optimizer is None:
             self._tx = _make_optimizer(self.cfg, steps)
