@@ -105,6 +105,11 @@ def main():
             qmodel = quantize_dcp(model, calib[0][..., :3], calib[1][..., :3])
             q_summary = evaluate_registration(qmodel, test_data, args, mask_model=mask_model)
             print("int8-ptq " + format_registration_summary(q_summary))
+            # the all-int8 attention-core variant (int8 PV): reported so
+            # the recorded eval shows what the extra MXU speed costs
+            qpv = quantize_dcp(model, calib[0][..., :3], calib[1][..., :3], int8_pv=True)
+            pv_summary = evaluate_registration(qpv, test_data, args, mask_model=mask_model)
+            print("int8-pv " + format_registration_summary(pv_summary))
     elif args.quantize and args.task == "classification":
         evaluate_classification_quantized(model, test_data, args)
 

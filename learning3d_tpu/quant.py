@@ -435,7 +435,21 @@ def quantize_dcp_pointer(model, calib_template, calib_source, int8_pv=False):
             for a, rec in r.items():
                 setattr(inner, a, rec)
         recs[id(inner)] = (inner, r)
-    clone(calib_template, calib_source)  # calibration pass (eager)
+    # Calibration pass. The recorders need host floats, so the pointer
+    # runs eagerly — but ONLY the pointer: the encoder pass is jitted
+    # (an eager full-DCP forward costs one tunnel RTT per op on proxied
+    # TPU attachments — minutes; the pointer alone is ~10x fewer ops).
+    from learning3d_tpu.utils.layers import to_bnc
+
+    enc_gd, enc_st = nnx.split(clone.emb_nn)
+
+    @jax.jit
+    def _enc(st, x):
+        return nnx.merge(enc_gd, st)(x)
+
+    tgt_emb = _enc(enc_st, to_bnc(calib_template, clone.input_shape))
+    src_emb = _enc(enc_st, to_bnc(calib_source, clone.input_shape))
+    clone.pointer(src_emb, tgt_emb)  # what DCP._register feeds the pointer
     for owner, attr, kind in sites:
         inner = getattr(owner, attr)
         _, r = recs[id(inner)]

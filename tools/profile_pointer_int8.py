@@ -78,8 +78,16 @@ def main():
         return per
 
     def rot_delta(m_ref, m_q):
-        R0 = np.asarray(m_ref(t, s)["est_R"], np.float64)
-        R1 = np.asarray(m_q(t, s)["est_R"], np.float64)
+        def jit_R(m):
+            gd, st = nnx.split(m)
+
+            @jax.jit
+            def f(st, t, s):
+                return nnx.merge(gd, st)(t, s)["est_R"]
+
+            return np.asarray(f(st, t, s), np.float64)
+
+        R0, R1 = jit_R(m_ref), jit_R(m_q)
         dR = R0 @ np.transpose(R1, (0, 2, 1))
         tr = np.clip((np.trace(dR, axis1=-2, axis2=-1) - 1) / 2, -1, 1)
         return np.degrees(np.arccos(tr)).max()
