@@ -142,7 +142,7 @@ def main_cpu_mesh():
     from learning3d_tpu.parallel.mesh import make_mesh
     from learning3d_tpu.parallel.ring import ring_chamfer, ring_knn
 
-    mesh = make_mesh(shape={"model": 8})
+    mesh = make_mesh(("model",), (8,))
     N = 32768  # dense (N, N) f32 = 4 GiB; the ring only ever holds
     # (N/8, N/8) = 64 MiB tiles per device
     x = jax.random.normal(jax.random.PRNGKey(0), (1, N, 3), jnp.float32)
