@@ -84,6 +84,7 @@ def build_dataset(args, train):
             num_points=args.num_points,
             size=getattr(args, "dataset_size", 2048),
             param_jitter=getattr(args, "param_jitter", 0.0),
+            use_normals=use_normals,
         )
 
     if args.task == "segmentation":
@@ -145,6 +146,9 @@ def main():
                    help="on-device rotate/scale/jitter augmentation (classification)")
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--masknet_loss", default="bce", choices=["bce", "mse"],
+                   help="masknet training loss (reference train_masknet.py "
+                   "offers both; bce survives the saturated-sigmoid init)")
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off); non-finite "
                    "steps are always skipped (TrainConfig.skip_nonfinite)")
@@ -186,6 +190,7 @@ def main():
         label_smoothing=args.label_smoothing,
         weight_decay=args.weight_decay,
         grad_clip_norm=args.grad_clip,
+        masknet_loss=args.masknet_loss,
     )
     model = build_model(args.model, args, nnx.Rngs(args.seed))
     if args.transfer_ptnet:

@@ -168,7 +168,12 @@ class SyntheticModelNet40:
     VERSION = 2
 
     def __init__(self, train=True, num_points=1024, size=2048, num_classes=40, seed=0,
-                 unseen=False, param_jitter=0.0):
+                 unseen=False, param_jitter=0.0, use_normals=False):
+        self.use_normals = bool(use_normals)
+        # items are deterministic per index (rng seeded by index alone), so
+        # the PCA normal estimation — the one expensive per-item step —
+        # is cached. ~50 MB at the default size/num_points.
+        self._cache: dict = {}
         self.num_points = num_points
         self.size = size
         self.num_classes = num_classes
@@ -185,6 +190,8 @@ class SyntheticModelNet40:
             tag += f"+jitter{self.param_jitter:g}"
         if self.size != 2048:
             tag += f"+size{self.size}"
+        if self.use_normals:
+            tag += "+normals"
         return tag
 
     def __len__(self):
@@ -250,12 +257,25 @@ class SyntheticModelNet40:
         # normalize to unit sphere like ModelNet40 preprocessing
         pts -= pts.mean(0, keepdims=True)
         pts /= np.abs(pts).max() + 1e-6
+        if self.use_normals:
+            # ModelNet40's .h5 files carry per-point surface normals
+            # (ModelNet40Data use_normals=True concatenates them to
+            # (N, 6)); the procedural stand-in estimates them by local
+            # PCA — smallest-eigenvector of the k-NN covariance, oriented
+            # away from the centroid — the standard mesh-free estimator.
+            # Deterministic per item (pure function of pts).
+            return np.concatenate([pts, estimate_normals_pca(pts)], -1)
         return pts
 
     def __getitem__(self, idx):
         label = idx % self.label_range + self.label_offset
+        if self.use_normals and idx in self._cache:
+            return self._cache[idx], int(label)
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
-        return self._make(rng, label), int(label)
+        item = self._make(rng, label)
+        if self.use_normals:
+            self._cache[idx] = item
+        return item, int(label)
 
     def get_shape(self, label):
         return self.shapes[int(label)]
@@ -275,6 +295,25 @@ class ClassificationData:
 
     def get_shape(self, label):
         return self.data_class.get_shape(label)
+
+
+def estimate_normals_pca(pts, k=16):
+    """Per-point surface normals from local PCA: smallest eigenvector of
+    each point's k-NN covariance, sign-oriented away from the centroid.
+    pts (N, 3) float32 -> (N, 3) unit normals. Host-side, deterministic."""
+    n = pts.shape[0]
+    k = min(k, n)
+    d = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, -1)
+    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    nbrs = pts[idx]  # (N, k, 3)
+    nbrs = nbrs - nbrs.mean(1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", nbrs, nbrs)
+    _, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    normals = vecs[:, :, 0]
+    outward = pts - pts.mean(0, keepdims=True)
+    sign = np.sign(np.sum(normals * outward, -1, keepdims=True))
+    sign[sign == 0] = 1.0
+    return (normals * sign).astype(np.float32)
 
 
 def jitter_pointcloud(pointcloud, sigma=0.04, clip=0.05, rng=None):

@@ -277,9 +277,25 @@ def get_graph_feature(x, k=20, approx=False):
 
 def angle(v1, v2, eps=1e-12):
     """Robust angle between vector batches via atan2(|v1 x v2|, v1.v2)
-    (reference ppfnet_util.py:173-194)."""
+    (reference ppfnet_util.py:173-194).
+
+    Values are bit-identical to atan2(|v1 x v2|, v1.v2) — including
+    atan2(0, 0) = 0 for zero/degenerate vectors (the torch reference's
+    behavior, pinned by the PPFNet parity test). Only the GRADIENT is
+    guarded: d|c|/dc = c/|c| is NaN at c = 0 and datan2/(dy,dx) ~
+    1/(x^2+y^2) is NaN at (0, 0); zero vectors (e.g. missing normals,
+    self-neighbor d = 0) sit exactly there and would poison every
+    gradient upstream. The double-where pins the degenerate point to
+    (y, x) = (0, 1): same value (0), finite (zero) gradient."""
     cross = jnp.cross(v1, v2)
-    return jnp.arctan2(jnp.linalg.norm(cross, axis=-1), jnp.sum(v1 * v2, axis=-1))
+    s = jnp.sum(cross * cross, axis=-1)
+    dot = jnp.sum(v1 * v2, axis=-1)
+    safe_s = s > eps
+    cross_norm = jnp.where(safe_s, jnp.sqrt(jnp.where(safe_s, s, 1.0)), 0.0)
+    degen = ~safe_s & (jnp.abs(dot) <= eps)
+    y = jnp.where(degen, jnp.zeros_like(cross_norm), cross_norm)
+    x = jnp.where(degen, jnp.ones_like(dot), dot)
+    return jnp.arctan2(y, x)
 
 
 def angle_difference(m1, m2):

@@ -31,6 +31,12 @@ class TrainConfig:
     accum_steps: int = 1  # gradient accumulation: microbatches per optimizer update
     remat: bool = False  # jax.checkpoint the forward: trade recompute for HBM
     label_smoothing: float = 0.0  # CurveNet/DGCNN cal_loss epsilon
+    # masknet loss: "bce" or "mse" (reference train_masknet.py offers
+    # both). Default bce: the mask head's sigmoid starts saturated at
+    # ~1.0 on pooled PointNet features, and MSE's gradient vanishes
+    # under saturation (the r4 run sat at loss=0.25, gnorm -> 0 within
+    # 2 steps) while BCE's (sigmoid(z) - gt) does not.
+    masknet_loss: str = "bce"
     grad_clip_norm: float = 0.0  # >0: clip grads to this global L2 norm
     # failure detection: a non-finite gradient (exploding SVD/gumbel step)
     # zeroes the update instead of poisoning the params forever — the

@@ -90,6 +90,14 @@ class Trainer:
             self.loss_fn = functools.partial(
                 _tasks.classification, smoothing=config.label_smoothing
             )
+        if loss_fn is None and config.task == "masknet":
+            import functools
+
+            from learning3d_tpu.train import tasks as _tasks
+
+            self.loss_fn = functools.partial(
+                _tasks.masknet, loss_fn=getattr(config, "masknet_loss", "bce")
+            )
         if augment_fn is None and config.augment and config.task == "classification":
             from learning3d_tpu.data.device_pipeline import augment_classification_batch
 

@@ -29,8 +29,19 @@ def _jacobi_rotation(A, V, p, q):
     apq = A[..., p, q]
     app = A[..., p, p]
     aqq = A[..., q, q]
-    # rotation angle: theta = 0.5 * atan2(2 apq, aqq - app) zeroes A[p,q]
-    theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+    # rotation angle: theta = 0.5 * atan2(2 apq, aqq - app) zeroes A[p,q].
+    # Gradient guard: d(atan2)(y, x) ~ 1/(x^2 + y^2) is NaN at (0, 0), and
+    # a degenerate pair (equal diagonal, zero off-diagonal — e.g. the ~0
+    # covariance of a collapsed soft-correspondence) sits exactly there.
+    # There the rotation is an arbitrary no-op, so pin (y, x) to (0, 1):
+    # same theta (0), finite (zero) gradient. This froze RPMNet training
+    # (NaN grads -> every step skipped) before the guard.
+    y = 2.0 * apq
+    x = aqq - app
+    degen = (y * y + x * x) < 1e-18
+    y = jnp.where(degen, jnp.zeros_like(y), y)
+    x = jnp.where(degen, jnp.ones_like(x), x)
+    theta = 0.5 * jnp.arctan2(y, x)
     c = jnp.cos(theta)
     s = jnp.sin(theta)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
@@ -62,7 +73,11 @@ def eigh3x3(A, sweeps=_JACOBI_SWEEPS):
 
 
 def _normalize(v, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    # rsqrt(|v|^2 + eps^2) instead of 1/max(|v|, eps): identical for
+    # |v| >> eps, but the norm's backward (v/|v|) is NaN at v = 0 while
+    # this form's gradient is finite (zero) there.
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(n2 + eps * eps)
 
 
 def kabsch_rotation_3x3(H):

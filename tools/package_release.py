@@ -36,6 +36,13 @@ DEFAULT_EXPS = {
     "r4_pcn": ("pcn", "pcn", "point-cloud completion (coarse + folding)"),
     "r4_flownet": ("flownet", "flow", "scene-flow estimation"),
     "r4_curvenet": ("curvenet", "classification", "CurveNet classification (enlarged shape-jittered synthetic set, original SGD recipe)"),
+    # campaign v3 retrains (root-cause fixes: svd3 grad guards + normals,
+    # masknet BCE, ipcrnet long schedule, enlarged-set classifiers)
+    "r4b_rpmnet": ("rpmnet", "rpmnet", "RPM registration w/ PCA normals (gradient-safe Kabsch)"),
+    "r4b_masknet": ("masknet", "masknet", "inlier mask estimation (BCE recipe past the sigmoid saturation)"),
+    "r4b_ipcrnet": ("ipcrnet", "ipcrnet", "iterative registration, 220-epoch schedule"),
+    "r4b_curvenet": ("curvenet", "classification", "CurveNet classification (size=6144 + param_jitter=0.08 synthetic set)"),
+    "r4b_pointnet_cls": ("pointnet", "classification", "PointNet classification on the same enlarged set (ordering control)"),
 }
 
 README_TMPL = """# releases — trained checkpoints
