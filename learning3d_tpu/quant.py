@@ -392,6 +392,148 @@ class QuantFF(nnx.Module):
         return out.astype(self.out_dtype)
 
 
+def _fused_weights_mha(qmha, prefix=""):
+    """Weight-dict entries of one QuantMHA for the fused layer kernel.
+    QuantMHA merges K|V into one int8 GEMM; per-output-channel scales
+    split back exactly (column-separable)."""
+    d = qmha.h * qmha.d_k
+    p = prefix
+    return {
+        p + "wq": qmha.wq_q[...], p + "swq": qmha.s_wq[...], p + "bq": qmha.bq[...],
+        p + "wk": qmha.wkv_q[...][:, :d], p + "swk": qmha.s_wkv[...][:d],
+        p + "bk": qmha.bkv[...][:d],
+        p + "wv": qmha.wkv_q[...][:, d:], p + "swv": qmha.s_wkv[...][d:],
+        p + "bv": qmha.bkv[...][d:],
+        p + "wo": qmha.wo_q[...], p + "swo": qmha.s_wo[...], p + "bo": qmha.bo[...],
+    }
+
+
+def _fused_weights_ff(qff):
+    return {
+        "w1": qff.w1_q[...], "sw1": qff.s_w1[...], "b1": qff.b1[...],
+        "w2": qff.w2_q[...], "sw2": qff.s_w2[...], "b2": qff.b2[...],
+    }
+
+
+def _fused_ok(x, n_heads):
+    from learning3d_tpu.kernels.transformer_int8 import fused_layer_ok
+
+    return (
+        jax.default_backend() == "tpu"
+        and not __import__("os").environ.get("L3D_NO_FUSED_LAYER")
+        and fused_layer_ok(x.shape[1], x.shape[2], n_heads)
+    )
+
+
+class QuantEncoderLayerFused(nnx.Module):
+    """Drop-in for transformer._EncoderLayer whose blocks have been
+    quantized: on TPU the WHOLE layer (LN1 -> int8 MHA -> residual ->
+    LN2 -> int8 FF -> residual) runs as one VMEM-resident Pallas kernel
+    (kernels/transformer_int8.encoder_layer_int8) — the inter-block
+    f32 activations never touch HBM. Elsewhere (and for off-guard
+    shapes) it composes the module path, which is the kernel's
+    identical-math oracle."""
+
+    def __init__(self, layer, int8_pv=True):
+        from learning3d_tpu.kernels.transformer_int8 import LayerScales
+
+        assert isinstance(layer.self_attn, QuantMHA)
+        assert isinstance(layer.ff, QuantFF)
+        self.inner = layer
+        self.int8_pv = bool(int8_pv)
+        m, f = layer.self_attn, layer.ff
+        self.scales = LayerScales(
+            s_y=m.s_in_q, s_q=m.s_q, s_k=m.s_k, s_v=m.s_v, s_att=m.s_att,
+            s_ff=f.s_in, s_h=f.s_h,
+        )
+
+    def _weights(self):
+        lyr = self.inner
+        w = _fused_weights_mha(lyr.self_attn)
+        w.update(_fused_weights_ff(lyr.ff))
+        w.update({
+            "ln1a": lyr.norm1.a[...], "ln1b": lyr.norm1.b[...],
+            "ln2a": lyr.norm2.a[...], "ln2b": lyr.norm2.b[...],
+        })
+        return w
+
+    @property
+    def self_attn(self):  # introspection passthrough (tests, surgery)
+        return self.inner.self_attn
+
+    @property
+    def ff(self):
+        return self.inner.ff
+
+    def __call__(self, x):
+        if _fused_ok(x, self.inner.self_attn.h):
+            from learning3d_tpu.kernels.transformer_int8 import encoder_layer_int8
+
+            return encoder_layer_int8(
+                x, self._weights(), self.scales,
+                n_heads=self.inner.self_attn.h, int8_pv=self.int8_pv,
+            )
+        return self.inner(x)
+
+
+class QuantDecoderLayerFused(nnx.Module):
+    """Drop-in for transformer._DecoderLayer (self-attn + cross-attn +
+    FF in one VMEM-resident kernel); see QuantEncoderLayerFused."""
+
+    def __init__(self, layer, int8_pv=True):
+        from learning3d_tpu.kernels.transformer_int8 import LayerScales
+
+        assert isinstance(layer.self_attn, QuantMHA)
+        assert isinstance(layer.cross_attn, QuantMHA)
+        assert isinstance(layer.ff, QuantFF)
+        self.inner = layer
+        self.int8_pv = bool(int8_pv)
+        m, c, f = layer.self_attn, layer.cross_attn, layer.ff
+        self.scales = LayerScales(
+            s_y=m.s_in_q, s_q=m.s_q, s_k=m.s_k, s_v=m.s_v, s_att=m.s_att,
+            s_ff=f.s_in, s_h=f.s_h,
+            s_y2=c.s_in_q, s_mem=c.s_in_kv,
+            s_q2=c.s_q, s_k2=c.s_k, s_v2=c.s_v, s_att2=c.s_att,
+        )
+
+    def _weights(self):
+        lyr = self.inner
+        w = _fused_weights_mha(lyr.self_attn)
+        w.update(_fused_weights_mha(lyr.cross_attn, prefix="x"))
+        w.update(_fused_weights_ff(lyr.ff))
+        w.update({
+            "ln1a": lyr.norm1.a[...], "ln1b": lyr.norm1.b[...],
+            "ln2a": lyr.norm2.a[...], "ln2b": lyr.norm2.b[...],
+            "ln3a": lyr.norm3.a[...], "ln3b": lyr.norm3.b[...],
+        })
+        return w
+
+    @property
+    def self_attn(self):  # introspection passthrough (tests, surgery)
+        return self.inner.self_attn
+
+    @property
+    def cross_attn(self):
+        return self.inner.cross_attn
+
+    @property
+    def ff(self):
+        return self.inner.ff
+
+    def __call__(self, x, memory):
+        if (
+            _fused_ok(x, self.inner.self_attn.h)
+            and memory.shape[1] == x.shape[1]
+        ):
+            from learning3d_tpu.kernels.transformer_int8 import decoder_layer_int8
+
+            return decoder_layer_int8(
+                x, memory, self._weights(), self.scales,
+                n_heads=self.inner.self_attn.h, int8_pv=self.int8_pv,
+            )
+        return self.inner(x, memory)
+
+
 def _pointer_blocks(pointer):
     """(owner, attr, kind) triples of every MHA/FF block in the pointer."""
     out = []
@@ -406,7 +548,8 @@ def _pointer_blocks(pointer):
     return out
 
 
-def quantize_dcp_pointer(model, calib_template, calib_source, int8_pv=False):
+def quantize_dcp_pointer(model, calib_template, calib_source, int8_pv=False,
+                         fused_layers=True):
     """Serving-mode DCP: int8 co-attention pointer (the FULL compute
     core, not just the Linears).
 
@@ -464,6 +607,14 @@ def quantize_dcp_pointer(model, calib_template, calib_source, int8_pv=False):
             for a, rec in r.items():
                 setattr(inner, a, rec.inner)
             setattr(owner, attr, QuantFF(inner, r["w1"], r["w2"]))
+    if fused_layers:
+        # wrap whole layers so the TPU path runs one VMEM-resident
+        # Pallas kernel per layer (falls back to the module path off-TPU
+        # or off-guard — the wrapper keeps the blocks as `inner`)
+        for i, layer in enumerate(list(clone.pointer.enc_layers)):
+            clone.pointer.enc_layers[i] = QuantEncoderLayerFused(layer, int8_pv=int8_pv)
+        for i, layer in enumerate(list(clone.pointer.dec_layers)):
+            clone.pointer.dec_layers[i] = QuantDecoderLayerFused(layer, int8_pv=int8_pv)
     return clone
 
 

@@ -372,6 +372,64 @@ def check_pointnet_fused(B=16, N=1000):
     assert rel < 2e-2, rel
 
 
+def check_transformer_layer_int8(B=4, N=1024, d=512, h=4):
+    """Fused VMEM-resident int8 encoder/decoder layer kernels
+    (kernels/transformer_int8) vs the composed QuantMHA/QuantFF module
+    path, compiled on-chip at the DCP pointer shape."""
+    from flax import nnx
+
+    from learning3d_tpu.kernels.transformer_int8 import (
+        decoder_layer_int8,
+        encoder_layer_int8,
+    )
+    from learning3d_tpu.utils.transformer import _DecoderLayer, _EncoderLayer
+    from tests.test_transformer_int8 import _quantize_blocks
+    from learning3d_tpu.quant import QuantDecoderLayerFused, QuantEncoderLayerFused
+
+    rngs = nnx.Rngs(0)
+    x = jax.random.normal(jax.random.PRNGKey(20), (B, N, d), jnp.float32)
+    mem = jax.random.normal(jax.random.PRNGKey(21), (B, N, d), jnp.float32)
+
+    import os
+
+    def jit_module(wrapper, *args):
+        """Trace the module path under jit (an eager pass on the tunneled
+        TPU costs one RTT per op) with the fused dispatch disabled."""
+        gd, st = nnx.split(wrapper)
+
+        @jax.jit
+        def run(st, *a):
+            return nnx.merge(gd, st)(*a)
+
+        os.environ["L3D_NO_FUSED_LAYER"] = "1"
+        try:
+            return np.asarray(run(st, *args))
+        finally:
+            del os.environ["L3D_NO_FUSED_LAYER"]
+
+    enc = _quantize_blocks(_EncoderLayer(d, h, 2 * d, rngs=rngs), lambda l: l(x), True)
+    we = QuantEncoderLayerFused(enc, int8_pv=True)
+    want = jit_module(we, x)
+    got = np.asarray(jax.jit(
+        lambda x: encoder_layer_int8(x, we._weights(), we.scales, n_heads=h)
+    )(x))
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    print(f"transformer enc layer int8: mean rel {rel:.2e}")
+    assert rel < 5e-3, rel
+
+    dec = _quantize_blocks(
+        _DecoderLayer(d, h, 2 * d, rngs=rngs), lambda l: l(x, mem), True
+    )
+    wd = QuantDecoderLayerFused(dec, int8_pv=True)
+    want = jit_module(wd, x, mem)
+    got = np.asarray(jax.jit(
+        lambda x, m: decoder_layer_int8(x, m, wd._weights(), wd.scales, n_heads=h)
+    )(x, mem))
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    print(f"transformer dec layer int8: mean rel {rel:.2e}")
+    assert rel < 5e-3, rel
+
+
 if __name__ == "__main__":
     import sys
 
@@ -381,6 +439,7 @@ if __name__ == "__main__":
     check_dgcnn_fused_small = _ft.partial(check_dgcnn_fused, B=2, N=256, k=5)
     check_dgcnn_fused_small.__name__ = "check_dgcnn_fused_small"
     checks = [
+        check_transformer_layer_int8,
         check_dgcnn_fused_small,
         check_dgcnn_fused,
         check_pointnet_fused,
