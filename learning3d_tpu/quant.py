@@ -661,7 +661,8 @@ def quantize_pointnet_classifier(model, calib_x, percentile=99.99):
     return QuantPointNetClassifier(w1, b1, enc, head, w_out, b_out)
 
 
-def quantize_dcp(model, calib_template, calib_source, int8_pv=False):
+def quantize_dcp(model, calib_template, calib_source, int8_pv=False,
+                 fused_layers=True):
     """Full int8 DCP serving mode: int8 co-attention pointer
     (quantize_dcp_pointer: int8 projections/FF + int8 QK^T attention
     core) + the int8 fused DGCNN encoder kernel
@@ -671,7 +672,8 @@ def quantize_dcp(model, calib_template, calib_source, int8_pv=False):
     from learning3d_tpu.kernels.dgcnn_fused import calibrate_dgcnn_int8
     from learning3d_tpu.models.dgcnn import DGCNN
 
-    clone = quantize_dcp_pointer(model, calib_template, calib_source, int8_pv=int8_pv)
+    clone = quantize_dcp_pointer(model, calib_template, calib_source,
+                                 int8_pv=int8_pv, fused_layers=fused_layers)
     if isinstance(clone.emb_nn, DGCNN):
         calib = jnp.concatenate([calib_template, calib_source], axis=0)
         clone.emb_nn.int8_scales = calibrate_dgcnn_int8(
