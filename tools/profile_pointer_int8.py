@@ -94,21 +94,28 @@ def main():
 
     per_bf16 = bench_model(model, "dcp-bf16")
 
-    q_hyb = quantize_dcp(model, t[:8], s[:8], int8_pv=False)
-    print(f"closeness hybrid: max dR = {rot_delta(model, q_hyb):.4f} deg", flush=True)
-    per_hyb = bench_model(q_hyb, "dcp-int8-hybrid")
+    # module path (fused_layers=False) vs the fused VMEM-resident layer
+    # kernels (kernels/transformer_int8) — both int8-PV and hybrid
+    q_mod = quantize_dcp(model, t[:8], s[:8], int8_pv=True, fused_layers=False)
+    print(f"closeness int8pv-module: max dR = {rot_delta(model, q_mod):.4f} deg", flush=True)
+    per_mod = bench_model(q_mod, "dcp-int8-pv-module")
 
-    q_pv = quantize_dcp(model, t[:8], s[:8], int8_pv=True)
-    print(f"closeness int8pv: max dR = {rot_delta(model, q_pv):.4f} deg", flush=True)
-    per_pv = bench_model(q_pv, "dcp-int8-pv")
+    q_pv = quantize_dcp(model, t[:8], s[:8], int8_pv=True, fused_layers=True)
+    print(f"closeness int8pv-fused: max dR = {rot_delta(model, q_pv):.4f} deg", flush=True)
+    per_pv = bench_model(q_pv, "dcp-int8-pv-fused")
+
+    q_hyb = quantize_dcp(model, t[:8], s[:8], int8_pv=False, fused_layers=True)
+    print(f"closeness hybrid-fused: max dR = {rot_delta(model, q_hyb):.4f} deg", flush=True)
+    per_hyb = bench_model(q_hyb, "dcp-int8-hybrid-fused")
 
     # pointer-only A/B at the embedding shape
     emb_t = jax.random.normal(jax.random.PRNGKey(2), (B, N, 512), jnp.float32).astype(jnp.bfloat16)
     emb_s = jax.random.normal(jax.random.PRNGKey(3), (B, N, 512), jnp.float32).astype(jnp.bfloat16)
 
     for tag, ptr in [("pointer-bf16", model.pointer),
-                     ("pointer-int8-hybrid", q_hyb.pointer),
-                     ("pointer-int8-pv", q_pv.pointer)]:
+                     ("pointer-int8-pv-module", q_mod.pointer),
+                     ("pointer-int8-pv-fused", q_pv.pointer),
+                     ("pointer-int8-hybrid-fused", q_hyb.pointer)]:
         gd, st = nnx.split(ptr)
 
         @functools.partial(jax.jit, static_argnums=0)
@@ -124,9 +131,10 @@ def main():
         per = timed_per_iter(lambda n: many(n, st, emb_t, emb_s), tag=tag)
         print(f"{tag}: {per*1e3:.2f} ms/call", flush=True)
 
-    print(f"SUMMARY bf16={per_bf16*1e3:.2f}ms hybrid={per_hyb*1e3:.2f}ms "
-          f"int8pv={per_pv*1e3:.2f}ms  (clouds/s: {B/per_bf16:.0f} / "
-          f"{B/per_hyb:.0f} / {B/per_pv:.0f})", flush=True)
+    print(f"SUMMARY bf16={per_bf16*1e3:.2f}ms pv-module={per_mod*1e3:.2f}ms "
+          f"pv-fused={per_pv*1e3:.2f}ms hybrid-fused={per_hyb*1e3:.2f}ms "
+          f"(clouds/s: {B/per_bf16:.0f} / {B/per_mod:.0f} / {B/per_pv:.0f} / "
+          f"{B/per_hyb:.0f})", flush=True)
 
 
 if __name__ == "__main__":
