@@ -337,6 +337,9 @@ def main():
         "precision": "int8-ptq" if value_int8 >= value_bf16 else "bf16",
         "pointnet_cls_bf16_clouds_per_sec": round(value_bf16, 1),
         "effective_tflops": round(value * _FLOPS_PER_CLOUD_PN / 1e12, 1),
+        # the reference publishes no throughput numbers; vs_baseline
+        # denominators are derived H100 estimates (see header comments)
+        "baseline_note": "denominator is an estimated H100 torch-eager throughput (reference publishes none)",
     }
     if int8_error is not None:
         # surface headline-path degradation in the JSON (not just stderr)
