@@ -39,6 +39,15 @@ def main():
         "(reference examples/test_masknet.py workflow)",
     )
     p.add_argument(
+        "--num_iters",
+        type=int,
+        default=0,
+        help="override the refinement iteration count of iterative "
+        "registration models (prnet/rpmnet/ipcrnet) at eval time; the "
+        "iterations share weights, so more eval iterations is a "
+        "serving-time knob, no retraining (0 = model default)",
+    )
+    p.add_argument(
         "--quantize",
         action="store_true",
         help="also evaluate the int8 PTQ serving mode (learning3d_tpu/quant.py) "
@@ -60,6 +69,12 @@ def main():
     trainer = Trainer(cfg, model)
     if args.ckpt:
         trainer.load(args.ckpt_name)
+    if args.num_iters:
+        # instance-default iteration attrs (plain ints, not checkpoint
+        # state): PRNet carries num_iters, RPMNet/iPCRNet default_iterations
+        for attr in ("num_iters", "default_iterations"):
+            if hasattr(model, attr):
+                setattr(model, attr, args.num_iters)
     test_data = build_dataset(args, train=False)
     loss, aux = trainer.evaluate(test_data)
     print(f"test_loss={loss:.6f} " + " ".join(f"{k}={v:.4f}" for k, v in aux.items()))

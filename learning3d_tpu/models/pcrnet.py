@@ -32,6 +32,10 @@ class iPCRNet(nnx.Module):
         self.input_shape = validate_input_shape(input_shape)
         self.feature_model = feature_model
         self.pooling = Pooling(pooling)
+        # serving-time default for __call__'s max_iteration (reference
+        # iPCRNet forward defaults to 8, pcrnet.py; evaluate.py
+        # --num_iters overrides this attr without retraining)
+        self.default_iterations = 8
         emb = feature_model.emb_dims
         dims = [emb * 2, 1024, 1024, 512, 512, 256]
         self.linears = nnx.List([
@@ -62,7 +66,9 @@ class iPCRNet(nnx.Module):
         source = jnp.einsum("bij,bnj->bni", R_step, source) + t[:, None, :]
         return est_R, est_t, source, source_features
 
-    def __call__(self, template, source, max_iteration: int = 8):
+    def __call__(self, template, source, max_iteration: int | None = None):
+        if max_iteration is None:
+            max_iteration = self.default_iterations
         template = to_bnc(template, self.input_shape)
         source = to_bnc(source, self.input_shape)
         B = template.shape[0]

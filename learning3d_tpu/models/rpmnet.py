@@ -65,6 +65,10 @@ class RPMNet(nnx.Module):
         self.input_shape = validate_input_shape(input_shape)
         self.add_slack = True
         self.num_sk_iter = 5
+        # serving-time default for __call__'s max_iterations (the reference
+        # forward defaults to 1, rpmnet.py:298; evaluate.py --num_iters
+        # overrides this attr for refinement-at-eval without retraining)
+        self.default_iterations = 1
         self.weights_net = ParameterPredictionNet((0,), dtype=dtype, rngs=rngs)
         self.feat_extractor = feature_model or PPFNet(dtype=dtype, rngs=rngs)
 
@@ -90,7 +94,9 @@ class RPMNet(nnx.Module):
         )
         return weighted_template, perm, affinity, beta, alpha, feat_template - feat_source
 
-    def __call__(self, template, source, max_iterations: int = 1):
+    def __call__(self, template, source, max_iterations: int | None = None):
+        if max_iterations is None:
+            max_iterations = self.default_iterations
         template = to_bnc(template, self.input_shape)
         source = to_bnc(source, self.input_shape)
         xyz_template, norm_template = self.split_normals(template)

@@ -146,6 +146,41 @@ class TestRegistration:
         perm = np.asarray(result["perm_matrices"][0])
         assert perm.sum(-1).max() <= 1.01 and perm.sum(-2).max() <= 1.01
 
+    def test_iteration_defaults_are_instance_attrs(self):
+        """RPMNet/iPCRNet read their refinement count from an instance
+        attr when the call site omits it (the evaluate.py --num_iters
+        serving-time knob): default == reference default, and overriding
+        the attr matches passing the count explicitly."""
+        net = models.RPMNet(
+            models.PPFNet(emb_dims=32, num_neighbors=8, rngs=nnx.Rngs(0)), rngs=nnx.Rngs(1)
+        )
+        net.eval()
+        xyz = clouds(0)
+        normals = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        template = jnp.concatenate([xyz, normals], -1)
+        source = jnp.concatenate([clouds(1), normals], -1)
+        np.testing.assert_array_equal(
+            net(template, source)["est_T"],
+            net(template, source, max_iterations=1)["est_T"],
+        )
+        net.default_iterations = 2
+        np.testing.assert_array_equal(
+            net(template, source)["est_T"],
+            net(template, source, max_iterations=2)["est_T"],
+        )
+
+        pn = models.PointNet(emb_dims=32, rngs=nnx.Rngs(0))
+        ipcr = models.iPCRNet(pn, rngs=nnx.Rngs(1))
+        ipcr.eval()
+        t, s = clouds(0), clouds(1)
+        np.testing.assert_array_equal(
+            ipcr(t, s)["est_T"], ipcr(t, s, max_iteration=8)["est_T"]
+        )
+        ipcr.default_iterations = 2
+        np.testing.assert_array_equal(
+            ipcr(t, s)["est_T"], ipcr(t, s, max_iteration=2)["est_T"]
+        )
+
     def test_deepgmr_contract(self):
         net = models.DeepGMR(use_rri=False, d_model=64, n_clusters=8, rngs=nnx.Rngs(0))
         net.eval()

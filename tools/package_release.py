@@ -43,6 +43,7 @@ DEFAULT_EXPS = {
     "r4b_ipcrnet": ("ipcrnet", "ipcrnet", "iterative registration, 220-epoch schedule"),
     "r4b_curvenet": ("curvenet", "classification", "CurveNet classification (size=6144 + param_jitter=0.08 synthetic set)"),
     "r4b_pointnet_cls": ("pointnet", "classification", "PointNet classification on the same enlarged set (ordering control)"),
+    "r4b_dgcnn_cls": ("dgcnn-cls", "classification", "DGCNN classification on the same enlarged set (completes the 3-way ordering)"),
 }
 
 README_TMPL = """# releases — trained checkpoints

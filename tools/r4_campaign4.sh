@@ -22,6 +22,15 @@ if [ -n "$QUEUE_PID" ]; then
 fi
 echo "=== [$(date +%H:%M:%S)] queue done; campaign v4 starts"
 
+# 0) PRNet serving-time refinement: the trained weights are shared across
+# iterations, so evaluating with 5 instead of 3 is a free-at-train-time
+# knob (evaluate.py --num_iters); v3's 3-iter eval landed at 10.29 deg
+echo "=== [$(date +%H:%M:%S)] eval r4_prnet @ num_iters=5"
+timeout 900 python examples/evaluate.py --ckpt r4_prnet --model prnet \
+  --task prnet --batch_size 16 --num_points 1024 --num_iters 5 \
+  > docs/runs/r4_prnet_eval_iters5.log 2>&1
+echo "=== [$(date +%H:%M:%S)] eval (rc=$?)"
+
 # 1) RPMNet extension 25 -> 60 epochs (~45 min at 45 s/epoch)
 echo "=== [$(date +%H:%M:%S)] train r4b_rpmnet (resume to 60)"
 timeout 3600 python examples/train.py --exp_name r4b_rpmnet --model rpmnet \
@@ -31,10 +40,14 @@ echo "=== [$(date +%H:%M:%S)] trained (rc=$?)"
 timeout 600 python examples/evaluate.py --ckpt r4b_rpmnet --model rpmnet \
   --task rpmnet --batch_size 16 > docs/runs/r4c_rpmnet_eval.log 2>&1
 echo "=== [$(date +%H:%M:%S)] eval (rc=$?)"
+timeout 900 python examples/evaluate.py --ckpt r4b_rpmnet --model rpmnet \
+  --task rpmnet --batch_size 16 --num_iters 5 \
+  > docs/runs/r4c_rpmnet_eval_iters5.log 2>&1
+echo "=== [$(date +%H:%M:%S)] eval @5 iters (rc=$?)"
 
 # 2) DGCNN classification convergence on the enlarged set
 echo "=== [$(date +%H:%M:%S)] train r4b_dgcnn_cls"
-timeout 5400 python examples/train.py --exp_name r4b_dgcnn_cls --model dgcnn \
+timeout 5400 python examples/train.py --exp_name r4b_dgcnn_cls --model dgcnn-cls \
   --task classification --epochs 40 --cosine --augment --label_smoothing 0.2 \
   --batch_size 32 --dataset_size 6144 --param_jitter 0.08 \
   >> docs/runs/r4b_dgcnn_cls.log 2>&1
