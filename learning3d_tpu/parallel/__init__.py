@@ -12,6 +12,7 @@ from learning3d_tpu.parallel.mesh import (  # noqa: F401
 )
 from learning3d_tpu.parallel.pipeline import pipeline_apply  # noqa: F401
 from learning3d_tpu.parallel.ring import (  # noqa: F401
+    ring_attention,
     ring_chamfer,
     ring_knn,
     sharded_square_distance,

@@ -98,6 +98,56 @@ def ring_chamfer(x, y, mesh, axis="model", batch_axis=None):
     return fn(x, y)
 
 
+def ring_attention(q, k, v, mesh, axis="model", batch_axis=None, scale=None):
+    """Exact softmax attention with the point axis sharded over ``axis``
+    — the ring-attention analogue for point-cloud transformers (the
+    reference's pointer attends over N<=1024 points in one device,
+    utils/transformer.py; here N is unbounded by one chip's memory).
+
+    q: (B, H, N, Dh) sharded on N; k, v: (B, H, M, Dh) sharded on M
+    (self-attention when the shards come from the same cloud, cross-
+    attention — DCP's pointer — when they don't). Each step scores the
+    local q chunk against the visiting K/V shard and folds it into a
+    running max/denominator/accumulator (flash-style log-sum-exp), then
+    rotates K/V around the ring with ppermute. The (N, M) score matrix
+    never exists; peak memory is O(N*M/d^2) per device. All ops are jnp,
+    so the ring is differentiable (grads pinned vs dense in
+    tests/test_parallel_ring.py). Returns (B, H, N, Dh) sharded like q.
+    """
+    d = mesh.shape[axis]
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    spec = P(batch_axis, None, axis, None)
+
+    def local_fn(q_loc, k_loc, v_loc):
+        f32 = jnp.float32
+        qf = q_loc.astype(f32) * scale
+        m = jnp.full(qf.shape[:-1], -jnp.inf, f32)  # (B, H, n)
+        l = jnp.zeros(qf.shape[:-1], f32)
+        acc = jnp.zeros(qf.shape, f32)
+        vis_k, vis_v = k_loc, v_loc
+        for step in range(d):
+            s = jnp.einsum("bhnd,bhmd->bhnm", qf, vis_k.astype(f32))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhnm,bhmd->bhnd", p, vis_v.astype(f32)
+            )
+            m = m_new
+            if step < d - 1:
+                vis_k = jax.lax.ppermute(vis_k, axis, _ring_perm(d))
+                vis_v = jax.lax.ppermute(vis_v, axis, _ring_perm(d))
+        return (acc / l[..., None]).astype(q_loc.dtype)
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
 def sharded_square_distance(x, y, mesh, axis="model"):
     """(B, N, C) x (B, M, C) -> (B, N, M) with N sharded over ``axis``
     (the result stays sharded on its N axis; y is replicated)."""

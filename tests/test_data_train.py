@@ -142,6 +142,43 @@ class TestParallel:
             np.sort(np.asarray(i_r), -1), np.sort(np.asarray(ref_idx), -1)
         )
 
+    def test_ring_attention_matches_dense(self):
+        from learning3d_tpu.parallel import make_mesh, ring_attention
+
+        mesh = make_mesh(("data", "model"), (1, 8))
+        kq = jax.random.PRNGKey(3)
+        # cross-attention shapes (DCP pointer): N != M
+        q = jax.random.normal(jax.random.fold_in(kq, 0), (2, 4, 64, 16))
+        k = jax.random.normal(jax.random.fold_in(kq, 1), (2, 4, 128, 16))
+        v = jax.random.normal(jax.random.fold_in(kq, 2), (2, 4, 128, 16))
+        out = ring_attention(q, k, v, mesh, axis="model")
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) / (16**0.5)
+        dense = jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense), atol=2e-5)
+
+    def test_ring_attention_gradients_match_dense(self):
+        from learning3d_tpu.parallel import make_mesh, ring_attention
+
+        mesh = make_mesh(("data", "model"), (1, 8))
+        kq = jax.random.PRNGKey(4)
+        q = jax.random.normal(jax.random.fold_in(kq, 0), (1, 2, 32, 8))
+        k = jax.random.normal(jax.random.fold_in(kq, 1), (1, 2, 32, 8))
+        v = jax.random.normal(jax.random.fold_in(kq, 2), (1, 2, 32, 8))
+
+        def ring_loss(q, k, v):
+            return jnp.sum(ring_attention(q, k, v, mesh, axis="model") ** 2)
+
+        def dense_loss(q, k, v):
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, k) / (8**0.5)
+            return jnp.sum(
+                jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, -1), v) ** 2
+            )
+
+        gr = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gr, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
     def test_ring_chamfer_gradients_match_dense(self):
         """Backward through the ring collectives (ppermute inside
         shard_map) must equal the dense-path gradients — the sharded-N
