@@ -171,6 +171,30 @@ def main_cpu_mesh():
     print(f"ring kNN16 N={N}: idx checksum {idx_s:.6e} ({t1-t0:.1f}s incl compile)",
           flush=True)
 
+    # ring attention at N=32768: the dense (H, N, N) score tensor would
+    # be 8.6 GiB f32 at H=2 — beyond a single device; the ring holds one
+    # (H, N/8, N/8) = 134 MiB chunk per device per step
+    from learning3d_tpu.parallel.ring import ring_attention
+
+    H, Dh = 2, 32
+    kq = jax.random.PRNGKey(2)
+    q = jax.random.normal(jax.random.fold_in(kq, 0), (1, H, N, Dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(kq, 1), (1, H, N, Dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(kq, 2), (1, H, N, Dh), jnp.float32)
+    t0 = time.perf_counter()
+    out = ring_attention(q, k, v, mesh)
+    out_s = float(jnp.mean(out))
+    t1 = time.perf_counter()
+    print(f"ring attention N={N} H={H} Dh={Dh}: mean {out_s:.6f} "
+          f"({t1-t0:.1f}s incl compile)", flush=True)
+    # dense oracle on a 512-query slice against the FULL key set
+    qs = q[:, :, :512]
+    s = jnp.einsum("bhnd,bhmd->bhnm", qs, k) / (Dh**0.5)
+    dense = jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, -1), v)
+    err = float(jnp.max(jnp.abs(out[:, :, :512] - dense)))
+    print(f"check first-512 queries vs dense: max err {err:.2e}", flush=True)
+    assert err < 1e-4, err
+
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
