@@ -48,6 +48,13 @@ def main():
         "serving-time knob, no retraining (0 = model default)",
     )
     p.add_argument(
+        "--use_bn",
+        action="store_true",
+        help="build the encoder with BatchNorm (required to load ipcrnet "
+        "checkpoints trained with --transfer_ptnet, whose transferred "
+        "classifier PointNet is use_bn=True)",
+    )
+    p.add_argument(
         "--quantize",
         action="store_true",
         help="also evaluate the int8 PTQ serving mode (learning3d_tpu/quant.py) "

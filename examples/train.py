@@ -41,7 +41,17 @@ def build_model(name, args, rngs):
     if name == "prnet":
         return models.PRNet(rngs=rngs)
     if name == "ipcrnet":
-        return models.iPCRNet(models.PointNet(emb_dims=1024, rngs=rngs), rngs=rngs)
+        # --transfer_ptnet initializes the encoder from the classifier's
+        # exported feature_model (use_bn=True to match its structure) —
+        # the same warm start that took PointNetLK from ~30 deg to 0.73
+        # (docs/runs/r4_pnlk_eval.log); cold starts keep the reference
+        # default (train_pcrnet.py:206, use_bn=False).
+        use_bn = bool(
+            getattr(args, "transfer_ptnet", "") or getattr(args, "use_bn", False)
+        )
+        return models.iPCRNet(
+            models.PointNet(emb_dims=1024, use_bn=use_bn, rngs=rngs), rngs=rngs
+        )
     if name == "pointnetlk":
         return models.PointNetLK(models.PointNet(emb_dims=1024, use_bn=True, rngs=rngs))
     if name == "rpmnet":
