@@ -290,6 +290,40 @@ def check_dgcnn_fused(B=8, N=1000, k=20):
     assert rel < 2e-2, rel
 
 
+def check_dgcnn_int8(B=8, N=1000, k=20):
+    """int8 fused DGCNN encoder (the quantize_dcp serving path) vs the
+    module forward (which on TPU dispatches the validated bf16 fused
+    kernel). PTQ tolerance — per-stage static scales plus int8 rounding,
+    NOT exactness (see tests/test_pallas_interpret
+    ::test_dgcnn_fused_int8 for the same comparison in interpret mode)."""
+    from flax import nnx
+
+    from learning3d_tpu.kernels.dgcnn_fused import (
+        calibrate_dgcnn_int8,
+        dgcnn_encode_fused_int8,
+    )
+    from learning3d_tpu.models import DGCNN
+
+    net = DGCNN(emb_dims=512, k=k, rngs=nnx.Rngs(0))
+    net.eval()
+    gd, st = nnx.split(net)
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, N, 3))
+    scales = calibrate_dgcnn_int8(net.convs, net.bns, k, x[:2])
+
+    def module(st, x):
+        return nnx.merge(gd, st)(x)
+
+    def fused_i8(st, x):
+        m = nnx.merge(gd, st)
+        return dgcnn_encode_fused_int8(x, m.convs, m.bns, m.k, scales)
+
+    want = np.asarray(jax.jit(module)(st, x), np.float32)
+    got = np.asarray(jax.jit(fused_i8)(st, x), np.float32)
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    print(f"dgcnn_int8: mean rel {rel:.2e} (int8 PTQ vs f32 module)")
+    assert rel < 6e-2, rel
+
+
 def check_attention(B=4, H=4, N=1000, D=128):
     """Lean fused pointer attention (kernels/attention.py) vs the
     identical-math oracle, on-chip bf16; N=1000 exercises key padding."""
@@ -442,6 +476,7 @@ if __name__ == "__main__":
         check_transformer_layer_int8,
         check_dgcnn_fused_small,
         check_dgcnn_fused,
+        check_dgcnn_int8,
         check_pointnet_fused,
         check_pointnet_int8,
         check_attention,
