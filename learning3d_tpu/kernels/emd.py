@@ -312,6 +312,14 @@ def _emd_fwd_pallas(x, y, chunk=512):
             bytes_accessed=4 * B * 3 * (Np + Mp) * 2,
             transcendentals=3 * 10 * B * Np * Mp,
         ),
+        # The chunk loop keeps a few (Np, chunk) f32 stack buffers live
+        # (d2 tile, assignment weights): ~8 MB each at N=4096 — over
+        # Mosaic's 16 MB default scoped-VMEM cap (N=4096 failed to compile
+        # in the round-4 large-N run while N<=2048 fit). Raise the cap;
+        # _use_emd_pallas bounds N at 4096.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(xt, yt)
     return (
         cost[:, 0, 0],

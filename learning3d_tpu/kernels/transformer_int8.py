@@ -259,6 +259,14 @@ def _call(kernel, names, x, weights, extra_inputs, *, sc, n_heads, d_k,
             bytes_accessed=B * (2 * N * d * 2) + sum(a.size for a in arrays),
             transcendentals=B * N * N * (3 if kernel is _dec_kernel else 2),
         ),
+        # Whole-layer kernels keep several (N, d) f32 intermediates live on
+        # the kernel stack (x, x2, attention output, FF tiles): ~18 MB bf16 /
+        # ~26 MB f32 at the DCP shape — over Mosaic's 16 MB default scoped
+        # limit (the round-4 driver-bench compile failure). v5e has 128 MB
+        # VMEM; raise the scoped cap and let fused_layer_ok bound the shapes.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*inputs)
 
