@@ -31,6 +31,14 @@ def main():
                    help="SyntheticModelNet40 item count — match the training run's")
     p.add_argument("--param_jitter", type=float, default=0.0,
                    help="synthetic per-item shape jitter — match the training run's")
+    p.add_argument("--hard_cls", action="store_true",
+                   help="hard synthetic classification benchmark — match the "
+                   "training run's (see train.py --hard_cls)")
+    p.add_argument("--detail_amp", type=float, default=0.04,
+                   help="hard-mode corrugation amplitude — match the training run's")
+    p.add_argument("--cls_noise", type=float, default=None,
+                   help="synthetic per-point noise sigma override — match the "
+                   "training run's")
     p.add_argument(
         "--masknet_ckpt",
         default="",
@@ -84,7 +92,7 @@ def main():
                 setattr(model, attr, args.num_iters)
     test_data = build_dataset(args, train=False)
     loss, aux = trainer.evaluate(test_data)
-    print(f"test_loss={loss:.6f} " + " ".join(f"{k}={v:.4f}" for k, v in aux.items()))
+    print(f"test_loss={loss:.6f} " + " ".join(f"{k}={v:.4f}" for k, v in aux.items()), flush=True)
 
     REGISTRATION_TASKS = ("dcp", "prnet", "ipcrnet", "pointnetlk", "rpmnet", "deepgmr")
     if args.task in REGISTRATION_TASKS:
@@ -114,7 +122,7 @@ def main():
         summary = evaluate_registration(model, test_data, args, mask_model=mask_model)
         from learning3d_tpu.train.metrics import format_registration_summary
 
-        print(format_registration_summary(summary))
+        print(format_registration_summary(summary), flush=True)
         if args.quantize and args.task == "dcp":
             # int8 PTQ serving-mode delta on the TRAINED checkpoint — the
             # accuracy-parity evidence bench.py's dcp headline cites.
@@ -126,12 +134,12 @@ def main():
             )
             qmodel = quantize_dcp(model, calib[0][..., :3], calib[1][..., :3])
             q_summary = evaluate_registration(qmodel, test_data, args, mask_model=mask_model)
-            print("int8-ptq " + format_registration_summary(q_summary))
+            print("int8-ptq " + format_registration_summary(q_summary), flush=True)
             # the all-int8 attention-core variant (int8 PV): reported so
             # the recorded eval shows what the extra MXU speed costs
             qpv = quantize_dcp(model, calib[0][..., :3], calib[1][..., :3], int8_pv=True)
             pv_summary = evaluate_registration(qpv, test_data, args, mask_model=mask_model)
-            print("int8-pv " + format_registration_summary(pv_summary))
+            print("int8-pv " + format_registration_summary(pv_summary), flush=True)
     elif args.quantize and args.task == "classification":
         evaluate_classification_quantized(model, test_data, args)
 

@@ -65,10 +65,14 @@ class RPMNet(nnx.Module):
         self.input_shape = validate_input_shape(input_shape)
         self.add_slack = True
         self.num_sk_iter = 5
-        # serving-time default for __call__'s max_iterations (the reference
-        # forward defaults to 1, rpmnet.py:298; evaluate.py --num_iters
-        # overrides this attr for refinement-at-eval without retraining)
-        self.default_iterations = 1
+        # default for __call__'s max_iterations, used by BOTH the training
+        # task (train/tasks.py::rpmnet) and serving. 2 is a deliberate
+        # deviation from the reference forward's 1-iteration default
+        # (rpmnet.py:298): the 1-iteration recipe diverged here and the
+        # 2-iteration runs converged (docs/runs/r4b_rpmnet.log). The
+        # iterations share weights; evaluate.py --num_iters overrides this
+        # attr for refinement-at-eval without retraining.
+        self.default_iterations = 2
         self.weights_net = ParameterPredictionNet((0,), dtype=dtype, rngs=rngs)
         self.feat_extractor = feature_model or PPFNet(dtype=dtype, rngs=rngs)
 

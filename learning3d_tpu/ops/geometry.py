@@ -279,9 +279,13 @@ def angle(v1, v2, eps=1e-12):
     """Robust angle between vector batches via atan2(|v1 x v2|, v1.v2)
     (reference ppfnet_util.py:173-194).
 
-    Values are bit-identical to atan2(|v1 x v2|, v1.v2) — including
-    atan2(0, 0) = 0 for zero/degenerate vectors (the torch reference's
-    behavior, pinned by the PPFNet parity test). Only the GRADIENT is
+    Values match atan2(|v1 x v2|, v1.v2) outside a ~sqrt(eps)=1e-6
+    degenerate band: |v1 x v2|^2 <= eps flushes the cross norm to 0, so
+    sub-1e-6 angles between unit vectors collapse to exactly 0 (or pi
+    for anti-parallel), and pairs of ~1e-7-magnitude vectors return 0/pi
+    regardless of true angle — including atan2(0, 0) = 0 for zero
+    vectors (the torch reference's behavior, pinned by the PPFNet parity
+    test, which samples well away from the band). The GRADIENT is
     guarded: d|c|/dc = c/|c| is NaN at c = 0 and datan2/(dy,dx) ~
     1/(x^2+y^2) is NaN at (0, 0); zero vectors (e.g. missing normals,
     self-neighbor d = 0) sit exactly there and would poison every

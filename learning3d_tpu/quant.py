@@ -392,6 +392,40 @@ class QuantFF(nnx.Module):
         return out.astype(self.out_dtype)
 
 
+def quantize_transformer_layer(layer, calib_fn, int8_pv=False):
+    """Per-layer PTQ surgery on ONE _EncoderLayer/_DecoderLayer: record
+    activation amax on a calibration pass, then swap the layer's MHA
+    blocks for QuantMHA and its feed-forward for QuantFF — the same
+    transformation quantize_dcp_pointer applies across the whole pointer,
+    exposed at single-layer granularity for tests and the on-TPU kernel
+    validator (tools/check_tpu_kernels.py).
+
+    ``calib_fn(layer)`` must run one representative forward pass."""
+    sites = [("self_attn", "mha"), ("ff", "ff")]
+    if hasattr(layer, "cross_attn"):
+        sites.insert(1, ("cross_attn", "mha"))
+    recs = {}
+    for attr, kind in sites:
+        inner = getattr(layer, attr)
+        names = ("wq", "wk", "wv", "wo") if kind == "mha" else ("w1", "w2")
+        r = {a: _AmaxRecorder(getattr(inner, a)) for a in names}
+        for a, rec in r.items():
+            setattr(inner, a, rec)
+        recs[attr] = (inner, r, kind)
+    calib_fn(layer)
+    for attr, (inner, r, kind) in recs.items():
+        for a, rec in r.items():
+            setattr(inner, a, rec.inner)
+        if kind == "mha":
+            setattr(
+                layer, attr,
+                QuantMHA(inner, r["wq"], r["wk"], r["wv"], r["wo"], int8_pv=int8_pv),
+            )
+        else:
+            setattr(layer, attr, QuantFF(inner, r["w1"], r["w2"]))
+    return layer
+
+
 def _fused_weights_mha(qmha, prefix=""):
     """Weight-dict entries of one QuantMHA for the fused layer kernel.
     QuantMHA merges K|V into one int8 GEMM; per-output-channel scales

@@ -45,12 +45,14 @@ def pointnetlk(model, batch, key):
 
 
 def rpmnet(model, batch, key):
-    """Same loss as PointNetLK (reference train_rpmnet.py:85) but with the
-    reference's 2-iteration training recipe (train_rpmnet.py:60
-    --num_iterations 2; RPMNet's forward cuts gradients between
-    iterations, models/rpmnet.py, so both iterations train)."""
+    """Same loss as PointNetLK (reference train_rpmnet.py:85). The
+    iteration count is attr-driven (model.default_iterations, recipe
+    default 2 — a deliberate deviation from the reference forward's
+    1-iteration default, see models/rpmnet.py; RPMNet's forward cuts
+    gradients between iterations so every iteration trains), so
+    evaluate.py --num_iters applies to the loss path too."""
     template, source, igt = batch
-    out = model(template, source, max_iterations=2)
+    out = model(template, source)
     loss = losses.frobenius_norm_loss(out["est_T"], igt) + losses.rmse_features_loss(
         out["r"]
     )
@@ -107,11 +109,18 @@ def deepgmr(model, batch, key):
 
 
 def pcn(model, batch, key):
-    """Chamfer(points, coarse_output) (reference examples/train_pcn.py:58)."""
+    """Chamfer(points, coarse_output) (reference examples/train_pcn.py:58).
+
+    Aux carries the per-stage chamfer the reference's test script reports
+    (test_pcn.py:25-60): coarse always, fine when the folding decoder is
+    on — so evaluate.py --task pcn prints real completion metrics."""
     (points,) = batch if isinstance(batch, tuple) and len(batch) == 1 else (batch[0],)
     out = model(points)
     loss = losses.chamfer_distance_loss(points, out["coarse_output"])
-    return loss, {}
+    aux = {"chamfer_coarse": loss}
+    if "fine_output" in out:
+        aux["chamfer_fine"] = losses.chamfer_distance_loss(points, out["fine_output"])
+    return loss, aux
 
 
 def masknet(model, batch, key, loss_fn="mse"):

@@ -17,39 +17,9 @@ from flax import nnx
 from learning3d_tpu.quant import (
     QuantDecoderLayerFused,
     QuantEncoderLayerFused,
-    QuantFF,
-    QuantMHA,
-    _AmaxRecorder,
+    quantize_transformer_layer as _quantize_blocks,
 )
 from learning3d_tpu.utils.transformer import _DecoderLayer, _EncoderLayer
-
-
-def _quantize_blocks(layer, calib_fn, int8_pv):
-    """Mirror quantize_dcp_pointer's per-layer surgery: record amax on a
-    calibration pass, then swap in QuantMHA/QuantFF."""
-    sites = [("self_attn", "mha"), ("ff", "ff")]
-    if hasattr(layer, "cross_attn"):
-        sites.insert(1, ("cross_attn", "mha"))
-    recs = {}
-    for attr, kind in sites:
-        inner = getattr(layer, attr)
-        names = ("wq", "wk", "wv", "wo") if kind == "mha" else ("w1", "w2")
-        r = {a: _AmaxRecorder(getattr(inner, a)) for a in names}
-        for a, rec in r.items():
-            setattr(inner, a, rec)
-        recs[attr] = (inner, r, kind)
-    calib_fn(layer)
-    for attr, (inner, r, kind) in recs.items():
-        for a, rec in r.items():
-            setattr(inner, a, rec.inner)
-        if kind == "mha":
-            setattr(
-                layer, attr,
-                QuantMHA(inner, r["wq"], r["wk"], r["wv"], r["wo"], int8_pv=int8_pv),
-            )
-        else:
-            setattr(layer, attr, QuantFF(inner, r["w1"], r["w2"]))
-    return layer
 
 
 def _assert_tieflip_close(got, want, atol=2e-4, max_abs=0.08, frac=0.01):

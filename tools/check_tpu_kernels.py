@@ -417,8 +417,11 @@ def check_transformer_layer_int8(B=4, N=1024, d=512, h=4):
         encoder_layer_int8,
     )
     from learning3d_tpu.utils.transformer import _DecoderLayer, _EncoderLayer
-    from tests.test_transformer_int8 import _quantize_blocks
-    from learning3d_tpu.quant import QuantDecoderLayerFused, QuantEncoderLayerFused
+    from learning3d_tpu.quant import (
+        QuantDecoderLayerFused,
+        QuantEncoderLayerFused,
+        quantize_transformer_layer as _quantize_blocks,
+    )
 
     rngs = nnx.Rngs(0)
     x = jax.random.normal(jax.random.PRNGKey(20), (B, N, d), jnp.float32)
