@@ -95,6 +95,9 @@ def build_dataset(args, train):
             size=getattr(args, "dataset_size", 2048),
             param_jitter=getattr(args, "param_jitter", 0.0),
             use_normals=use_normals,
+            hard=getattr(args, "hard_cls", False),
+            detail_amp=getattr(args, "detail_amp", 0.04),
+            noise=getattr(args, "cls_noise", None),
         )
 
     if args.task == "segmentation":
@@ -171,6 +174,16 @@ def main():
     p.add_argument("--param_jitter", type=float, default=0.0,
                    help="per-item relative shape-parameter jitter of the "
                    "synthetic set (intra-class diversity for heavy classifiers)")
+    p.add_argument("--hard_cls", action="store_true",
+                   help="hard synthetic classification benchmark: classes "
+                   "aliased into groups sharing all global shape statistics, "
+                   "separated only by label-keyed local corrugations near the "
+                   "noise floor (discriminates local-geometry models from "
+                   "global max-pool ones instead of saturating)")
+    p.add_argument("--detail_amp", type=float, default=0.04,
+                   help="hard-mode corrugation amplitude")
+    p.add_argument("--cls_noise", type=float, default=None,
+                   help="synthetic per-point noise sigma override")
     p.add_argument("--transfer_ptnet", default="",
                    help="exp_name whose exported feature_model initializes this "
                    "model's encoder (the reference's PointNetLK workflow: "

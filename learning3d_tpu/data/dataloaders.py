@@ -163,12 +163,25 @@ class SyntheticModelNet40:
     #   1 = bare primitives (round <=3 session 2; rotational self-maps
     #       make part of registration gt unrecoverable)
     #   2 = + class-keyed symmetry-breaking radial bumps (round 3 s3)
+    #   2h = ``hard=True`` classification benchmark (round 5): classes
+    #        aliased into groups of 4 that share ALL global shape
+    #        statistics (primitive kind + aspect ratios); class identity
+    #        lives ONLY in label-keyed high-frequency surface
+    #        corrugations near the sampling-noise floor. Global max-pool
+    #        statistics no longer separate classes, so the benchmark can
+    #        discriminate between local-geometry models (CurveNet/DGCNN)
+    #        and global ones (PointNet) instead of saturating at 1.0 —
+    #        mirroring the real-ModelNet40 ordering the reference records
+    #        (exp_curvenet/run.log 0.9368 vs exp_classifier 0.8825).
+    #        Registration tasks keep the v2 set: identifiability
+    #        invariants (class-keyed bumps) are unchanged there.
     # param_jitter != 0 or a non-default size is appended to the tag by
     # ``version_tag`` since they also change the distribution.
     VERSION = 2
 
     def __init__(self, train=True, num_points=1024, size=2048, num_classes=40, seed=0,
-                 unseen=False, param_jitter=0.0, use_normals=False):
+                 unseen=False, param_jitter=0.0, use_normals=False, hard=False,
+                 detail_amp=0.04, noise=None):
         self.use_normals = bool(use_normals)
         # items are deterministic per index (rng seeded by index alone), so
         # the PCA normal estimation — the one expensive per-item step —
@@ -179,6 +192,12 @@ class SyntheticModelNet40:
         self.num_classes = num_classes
         self.seed = seed + (0 if train else 1_000_003)
         self.param_jitter = float(param_jitter)
+        self.hard = bool(hard)
+        self.detail_amp = float(detail_amp)
+        # hard mode defaults to a noise floor just under the corrugation
+        # amplitude — the detail is detectable from neighborhoods (local
+        # models can average it out) but not from single points
+        self.noise = float(noise) if noise is not None else (0.025 if hard else 0.02)
         self.shapes = SHAPE_NAMES[:num_classes]
         # unseen split: restrict the label range like the reference's flag
         self.label_offset = 0 if (not unseen or train) else num_classes // 2
@@ -186,12 +205,16 @@ class SyntheticModelNet40:
 
     def version_tag(self):
         tag = f"synthetic-v{self.VERSION}"
+        if self.hard:
+            tag += f"h+amp{self.detail_amp:g}+noise{self.noise:g}"
         if self.param_jitter:
             tag += f"+jitter{self.param_jitter:g}"
         if self.size != 2048:
             tag += f"+size{self.size}"
         if self.use_normals:
             tag += "+normals"
+        if self.num_points != 1024:
+            tag += f"+pts{self.num_points}"
         return tag
 
     def __len__(self):
@@ -199,12 +222,22 @@ class SyntheticModelNet40:
 
     def _make(self, rng, label):
         n = self.num_points
-        kind = label % 4
+        if self.hard:
+            # hard classification mode: EVERY global shape statistic is
+            # keyed by the alias GROUP (4 consecutive labels share
+            # primitive kind, aspect ratios, and the large radial bumps);
+            # only the high-frequency corrugations below carry the label
+            shape_key = label // 4
+            n_keys = max(self.num_classes // 4, 1)
+        else:
+            shape_key = label
+            n_keys = self.num_classes
+        kind = shape_key % 4
         u = rng.random(n).astype(np.float32)
         v = rng.random(n).astype(np.float32)
-        # class-dependent aspect ratios make classes separable
-        a = 0.3 + 0.7 * ((label * 37 % 40) / 40.0)
-        b = 0.3 + 0.7 * ((label * 17 % 40) / 40.0)
+        # shape-key-dependent aspect ratios make shapes separable
+        a = 0.3 + 0.7 * ((shape_key * 37 % n_keys) / n_keys)
+        b = 0.3 + 0.7 * ((shape_key * 17 % n_keys) / n_keys)
         if self.param_jitter:
             # per-ITEM relative jitter of the shape parameters (rng is the
             # per-index generator, so deterministic per item): intra-class
@@ -242,7 +275,7 @@ class SyntheticModelNet40:
         # samples of the class), at generic directions, so every
         # rotation/reflection self-map is destroyed and single-digit
         # rotation errors become achievable, as on the real dataset.
-        crng = np.random.default_rng(1_000_000_007 + 31 * label)
+        crng = np.random.default_rng(1_000_000_007 + 31 * shape_key)
         centers = crng.standard_normal((3, 3)).astype(np.float32)
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
         amps = (0.25 + 0.15 * crng.random(3)).astype(np.float32)
@@ -253,7 +286,27 @@ class SyntheticModelNet40:
             d2 = np.sum((radial - c) ** 2, -1, keepdims=True)
             bump += amp * np.exp(-d2 / w)
         pts += bump.astype(np.float32) * radial
-        pts += 0.02 * rng.standard_normal(pts.shape).astype(np.float32)
+        if self.hard:
+            # LABEL-keyed high-frequency angular corrugations — the only
+            # class-discriminative signal in hard mode. Amplitude sits at
+            # the noise floor: a single point's offset is ambiguous, but
+            # the pattern is recoverable from a point's neighborhood, so
+            # the benchmark separates local-geometry models from global
+            # max-pool ones (the property that makes real ModelNet40
+            # discriminate; reference exp_curvenet vs exp_classifier).
+            drng = np.random.default_rng(777_000_001 + 101 * label)
+            wave = np.zeros((pts.shape[0], 1), np.float32)
+            for _ in range(3):
+                d = drng.standard_normal(3).astype(np.float32)
+                d /= np.linalg.norm(d) + 1e-9
+                freq = 6.0 + 8.0 * drng.random()
+                phase = 2 * np.pi * drng.random()
+                camp = 0.7 + 0.6 * drng.random()
+                wave += (camp / 3.0) * np.cos(
+                    2 * np.pi * freq * (radial @ d[:, None]) + phase
+                ).astype(np.float32)
+            pts += self.detail_amp * wave * radial
+        pts += self.noise * rng.standard_normal(pts.shape).astype(np.float32)
         # normalize to unit sphere like ModelNet40 preprocessing
         pts -= pts.mean(0, keepdims=True)
         pts /= np.abs(pts).max() + 1e-6

@@ -21,6 +21,48 @@ class TestData:
         pts2, _ = ds[5]
         np.testing.assert_array_equal(pts, pts2)
 
+    def test_synthetic_hard_mode_aliases_global_shape(self):
+        """hard=True design invariant (the discriminating classification
+        benchmark, round-5): the 4 labels of an alias group share ALL
+        global shape statistics — class identity lives only in the
+        label-keyed local corrugations — so global-descriptor distances
+        WITHIN a group must sit far below distances ACROSS groups, and
+        hard mode must version-tag itself distinctly."""
+        from learning3d_tpu.data import SyntheticModelNet40
+
+        n_cls, per_cls, npts = 8, 4, 512
+        ds = SyntheticModelNet40(
+            num_points=npts, size=n_cls * per_cls * 4, num_classes=n_cls,
+            hard=True, detail_amp=0.04,
+        )
+        assert "h+amp" in ds.version_tag()
+        assert ds.version_tag() != SyntheticModelNet40(
+            num_points=npts, size=n_cls * per_cls * 4, num_classes=n_cls
+        ).version_tag()
+
+        # global descriptor: sorted radial profile + per-axis extents
+        def desc(pts):
+            r = np.sort(np.linalg.norm(pts, axis=-1))
+            q = r[:: max(len(r) // 16, 1)][:16]
+            return np.concatenate([q, pts.std(0), np.abs(pts).max(0)])
+
+        cents = []
+        for label in range(n_cls):
+            items = [
+                desc(ds[i][0])
+                for i in range(len(ds))
+                if int(ds[i][1]) == label
+            ][:per_cls]
+            assert items, f"no items for label {label}"
+            cents.append(np.mean(items, 0))
+        cents = np.stack(cents)
+        d = np.linalg.norm(cents[:, None] - cents[None, :], axis=-1)
+        groups = np.arange(n_cls) // 4
+        same = d[(groups[:, None] == groups[None, :]) & ~np.eye(n_cls, dtype=bool)]
+        diff = d[groups[:, None] != groups[None, :]]
+        # within-group global stats are aliased: much closer than across
+        assert same.mean() < 0.25 * diff.mean(), (same.mean(), diff.mean())
+
     def test_registration_data_host(self):
         from learning3d_tpu.data import RegistrationData, SyntheticModelNet40
 
