@@ -7,13 +7,21 @@ environment, so the release artifacts are trained-on-synthetic orbax
 checkpoints (one per task family) plus the conversion CLI
 (tools/convert_checkpoint.py) for users bringing reference .t7 files.
 
+Every release entry names its eval log (docs/runs/...) and the manifest
+embeds that log's metric lines, so a release hint can never silently
+contradict the recorded eval (round-4 shipped a diverged rpmnet under a
+converged-sounding hint — never again). Entries whose eval log is
+missing or metric-free are marked "eval": "UNVERIFIED" and flagged on
+stdout.
+
 Usage: python tools/package_release.py [--ckpt_dir checkpoints] [--out releases]
-Copies <ckpt_dir>/<exp>/<best|latest> for every --exp, writes a manifest
-with the training log tail, and a README with loading instructions.
+Copies <ckpt_dir>/<exp>/<best|latest> for every --exp, prunes release
+dirs that are no longer in the map, writes the manifest and a README.
 """
 
 import argparse
 import json
+import re
 import shutil
 import sys
 from pathlib import Path
@@ -21,30 +29,73 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 DEFAULT_EXPS = {
-    # exp_name: (model, task, load hint)
+    # exp_name: (model, task, load hint, eval log under docs/runs/)
     "r3c_dcp": (
         "dcp", "dcp",
         "rigid registration (per-epoch pair resampling + symmetry-broken synthetic set)",
+        "r3c_dcp_eval.log",
     ),
-    "r3c_deepgmr": ("deepgmr", "deepgmr", "GMM registration (on-device RRI)"),
-    "r4_prnet": ("prnet", "prnet", "partial-to-partial registration, 1024->768 (fixed pipeline)"),
-    "r4_ipcrnet": ("ipcrnet", "ipcrnet", "iterative registration (post-identifiability-fix retrain)"),
-    "r4_rpmnet": ("rpmnet", "rpmnet", "RPM registration w/ normals (2-iteration training recipe)"),
-    "r4_pnlk": ("pointnetlk", "pointnetlk", "IC-LK registration (classifier-transferred PointNet features)"),
-    "r4_masknet": ("masknet", "masknet", "inlier mask estimation (long run past the 0.5 plateau)"),
-    "r4_pointnet_cls": ("pointnet", "classification", "40-class classification (augment + label-smoothing recipe; exported feature_model for transfer)"),
-    "r4_pcn": ("pcn", "pcn", "point-cloud completion (coarse + folding)"),
-    "r4_flownet": ("flownet", "flow", "scene-flow estimation"),
-    "r4_curvenet": ("curvenet", "classification", "CurveNet classification (enlarged shape-jittered synthetic set, original SGD recipe)"),
+    "r3c_deepgmr": (
+        "deepgmr", "deepgmr", "GMM registration (on-device RRI)",
+        "r3c_deepgmr_eval.log",
+    ),
+    "r4_prnet": (
+        "prnet", "prnet",
+        "partial-to-partial registration, 1024->768 (fixed pipeline)",
+        "r4_prnet_eval.log",
+    ),
+    "r4_pnlk": (
+        "pointnetlk", "pointnetlk",
+        "IC-LK registration (classifier-transferred PointNet features)",
+        "r4_pnlk_eval.log",
+    ),
+    "r4_pointnet_cls": (
+        "pointnet", "classification",
+        "40-class classification (augment + label-smoothing recipe; exported "
+        "feature_model for transfer)",
+        "r4_pointnet_cls_eval.log",
+    ),
+    "r4_pcn": (
+        "pcn", "pcn", "point-cloud completion (coarse + folding)",
+        "r5_pcn_eval.log",
+    ),
+    "r4_flownet": (
+        "flownet", "flow", "scene-flow estimation",
+        "r5_flownet_eval.log",
+    ),
     # campaign v3 retrains (root-cause fixes: svd3 grad guards + normals,
-    # masknet BCE, ipcrnet long schedule, enlarged-set classifiers)
-    "r4b_rpmnet": ("rpmnet", "rpmnet", "RPM registration w/ PCA normals (gradient-safe Kabsch)"),
-    "r4b_masknet": ("masknet", "masknet", "inlier mask estimation (BCE recipe past the sigmoid saturation)"),
-    "r4b_ipcrnet": ("ipcrnet", "ipcrnet", "iterative registration, 220-epoch schedule"),
-    "r4b_curvenet": ("curvenet", "classification", "CurveNet classification (size=6144 + param_jitter=0.08 synthetic set)"),
-    "r4b_pointnet_cls": ("pointnet", "classification", "PointNet classification on the same enlarged set (ordering control)"),
-    "r4b_dgcnn_cls": ("dgcnn-cls", "classification", "DGCNN classification on the same enlarged set (completes the 3-way ordering)"),
+    # masknet BCE, ipcrnet long schedule, enlarged-set classifiers).
+    # These SUPERSEDE the diverged r4_rpmnet / stuck r4_masknet, which are
+    # deliberately absent from this map (round-4 VERDICT weak #2).
+    "r4b_rpmnet": (
+        "rpmnet", "rpmnet", "RPM registration w/ PCA normals (gradient-safe Kabsch)",
+        "r4b_rpmnet_eval.log",
+    ),
+    "r4b_masknet": (
+        "masknet", "masknet",
+        "inlier mask estimation (BCE recipe past the sigmoid saturation)",
+        "r4b_masknet_eval.log",
+    ),
+    "r4b_ipcrnet": (
+        "ipcrnet", "ipcrnet", "iterative registration, 220-epoch schedule",
+        "r4b_ipcrnet_eval.log",
+    ),
+    "r4b_curvenet": (
+        "curvenet", "classification",
+        "CurveNet classification (size=6144 + param_jitter=0.08 synthetic set)",
+        "r4b_curvenet_eval.log",
+    ),
+    "r4b_pointnet_cls": (
+        "pointnet", "classification",
+        "PointNet classification on the same enlarged set (ordering control)",
+        "r4b_pointnet_cls_eval.log",
+    ),
 }
+
+# lines that count as "the eval recorded real numbers"
+_METRIC_RE = re.compile(
+    r"^(test_loss=|Stage: test|bf16_acc=|int8-ptq |int8-pv )"
+)
 
 README_TMPL = """# releases — trained checkpoints
 
@@ -60,19 +111,34 @@ import argparse
 
 args = argparse.Namespace(emb_dims=1024, nearest_neighbors=20, num_points=1024)
 model = build_model("dcp", args, nnx.Rngs(0))
-tr = Trainer(TrainConfig(exp_name="r3_dcp", task="dcp", ckpt_dir="releases"),
+tr = Trainer(TrainConfig(exp_name="r3c_dcp", task="dcp", ckpt_dir="releases"),
              model, loss_fn=lambda *a: (0.0, {}))
 tr.load("best")
 ```
 
 or via the CLI: `python examples/evaluate.py --model dcp --task dcp \\
---ckpt r3_dcp --ckpt_dir releases`.
+--ckpt r3c_dcp --ckpt_dir releases`.
 
 Converting a reference PyTorch checkpoint instead:
 `python tools/convert_checkpoint.py --model pointnet --torch_ckpt model.t7`.
 
+Every entry's `eval` field in manifest.json is extracted verbatim from
+the named eval log — if it says UNVERIFIED, treat the checkpoint as
+unvalidated.
+
 ## Contents
 """
+
+
+def eval_metrics(log_path: Path) -> list[str]:
+    """Metric lines of an eval log (empty list = unverified)."""
+    if not log_path.exists():
+        return []
+    return [
+        ln.strip()
+        for ln in log_path.read_text().splitlines()
+        if _METRIC_RE.match(ln.strip())
+    ]
 
 
 def main():
@@ -83,8 +149,10 @@ def main():
     args = p.parse_args()
     out = Path(args.out)
     out.mkdir(exist_ok=True)
+    runs = Path("docs/runs")
     lines = [README_TMPL]
     manifest = {}
+    unverified = []
     for exp in args.exps:
         src = Path(args.ckpt_dir) / exp
         name = "best" if (src / "best").exists() else "latest"
@@ -101,21 +169,42 @@ def main():
         if run_log.exists():
             tail = "".join(run_log.read_text().splitlines(keepends=True)[-3:])
             shutil.copy(run_log, dst / "run.log")
-        model, task, hint = DEFAULT_EXPS.get(exp, ("?", "?", ""))
-        manifest[exp] = {"model": model, "task": task, "checkpoint": name, "hint": hint}
+        model, task, hint, eval_log = DEFAULT_EXPS.get(exp, ("?", "?", "", ""))
+        entry = {"model": model, "task": task, "checkpoint": name, "hint": hint}
+        metrics = eval_metrics(runs / eval_log) if eval_log else []
+        entry["eval_log"] = f"docs/runs/{eval_log}" if eval_log else ""
+        entry["eval"] = metrics if metrics else "UNVERIFIED"
+        if not metrics:
+            unverified.append(exp)
+        manifest[exp] = entry
         meta = src / name / "meta.json"
         if meta.exists():
             # carry the dataset-version tag into the manifest (ADVICE r3):
             # evals against a different synthetic distribution don't compare
             dv = json.loads(meta.read_text()).get("dataset_version")
             if dv:
-                manifest[exp]["dataset_version"] = dv
+                entry["dataset_version"] = dv
         lines.append(f"- **{exp}** — {hint} (`--model {model} --task {task}`, ckpt `{name}`)")
+        if metrics:
+            lines.append("  eval (`" + entry["eval_log"] + "`):\n  ```\n  "
+                         + "\n  ".join(metrics) + "\n  ```")
+        else:
+            lines.append("  eval: **UNVERIFIED** (no metric lines in "
+                         f"`{entry['eval_log'] or '<none>'}`)")
         if tail:
-            lines.append(f"  final log lines:\n  ```\n  {tail.strip()}\n  ```")
+            lines.append(f"  final training log lines:\n  ```\n  {tail.strip()}\n  ```")
+    # prune stale release dirs (e.g. checkpoints dropped from the map for
+    # shipping broken weights) so nothing loads garbage labeled as gold
+    keep = set(manifest) | {"README.md", "manifest.json"}
+    for child in out.iterdir():
+        if child.name not in keep and child.is_dir():
+            print(f"prune stale release {child.name}")
+            shutil.rmtree(child)
     (out / "README.md").write_text("\n".join(lines) + "\n")
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
     print(f"packaged {len(manifest)} checkpoints into {out}/")
+    if unverified:
+        print("UNVERIFIED (eval log missing or metric-free): " + ", ".join(unverified))
 
 
 if __name__ == "__main__":
