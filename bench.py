@@ -221,8 +221,54 @@ def bench_dcp_int8(batch=32, points=1024, fused_layers=True, int8_pv=True):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    tag = f"dcp-int8{'-fused' if fused_layers else ''} B={batch}"
+    tag = (f"dcp-int8{'' if int8_pv else '-hybrid'}"
+           f"{'-fused' if fused_layers else ''} B={batch}")
     per = _timed_per_iter(lambda n: many(n, state, t, s), iters=21, tag=tag)
+    return batch / per
+
+
+def bench_dcp_template_cached(batch=32, points=1024, fused_layers=True,
+                              int8_pv=False):
+    """One-template-many-sources serving (serve.TemplateRegistrar /
+    DCP.encode + register_encoded): the template's encoder pass is paid
+    once and cached, so per-batch work drops by a full encoder pass
+    (~2.7 ms of ~11 at B=32). Reported as a SEPARATE metric — the
+    headline keeps the reference-comparable both-clouds-fresh workload
+    (reference examples/test_dcp.py re-encodes both clouds per pair).
+    The template embedding is deliberately loop-invariant here: hoisting
+    it is the serving pattern being measured, not a timing artifact."""
+    from learning3d_tpu.models import DCP, DGCNN
+    from learning3d_tpu.quant import quantize_dcp
+
+    model = DCP(
+        DGCNN(emb_dims=512, dtype=jnp.bfloat16, rngs=nnx.Rngs(0)),
+        dtype=jnp.bfloat16,
+        rngs=nnx.Rngs(1),
+    )
+    model.eval()
+    t = jax.random.normal(jax.random.PRNGKey(0), (batch, points, 3), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (batch, points, 3), jnp.float32)
+    qm = quantize_dcp(model, t[:8], s[:8], int8_pv=int8_pv,
+                      fused_layers=fused_layers)
+    graphdef, state = nnx.split(qm)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n, state, t, s):
+        m = nnx.merge(graphdef, state)
+        tgt_emb = m.encode(t)  # cached once per template — the point
+
+        def body(i, acc):
+            # the SOURCE still varies per iteration and its encoder pass
+            # stays inside the loop (round-3 honesty rules)
+            out = m.register_encoded(t, tgt_emb, s + 2e-4 * i)
+            return acc + jnp.sum(out["est_T"])
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    per = _timed_per_iter(
+        lambda n: many(n, state, t, s), iters=21,
+        tag=f"dcp-template-cached B={batch}",
+    )
     return batch / per
 
 
@@ -351,15 +397,24 @@ def main():
         # closeness is pinned by tests/test_quant_dcp.py and the trained-
         # model registration delta recorded in docs/runs/.
         dcp_bf16 = bench_dcp(batch=args.dcp_batch)
-        # two int8 serving configurations: fused-layer Pallas kernels vs
-        # the XLA module path — measure both, headline the winner (the
-        # driver's one-JSON-line contract survives either path failing)
+        # three int8 serving configurations: fused-layer Pallas kernels
+        # with int8 PV, fused with bf16 PV ("hybrid" — the extra int8 PV
+        # requant costs more than the int8 MXU saves at this shape,
+        # docs/runs/r5_pointer_int8.log: 11.17 vs 12.34 ms), and the XLA
+        # module path — measure all, headline the winner (the driver's
+        # one-JSON-line contract survives any path failing)
         dcp_int8 = 0.0
         dcp_precision = "bf16"
-        for fused in (True, False):
-            key = "dcp_int8_fused" if fused else "dcp_int8_module"
+        for key, kwargs, prec in (
+            ("dcp_int8_fused", dict(fused_layers=True, int8_pv=True),
+             "int8-ptq-fused"),
+            ("dcp_int8_hybrid_fused", dict(fused_layers=True, int8_pv=False),
+             "int8-ptq-hybrid-fused"),
+            ("dcp_int8_module", dict(fused_layers=False, int8_pv=True),
+             "int8-ptq"),
+        ):
             try:
-                v = bench_dcp_int8(batch=args.dcp_batch, fused_layers=fused)
+                v = bench_dcp_int8(batch=args.dcp_batch, **kwargs)
                 result[f"{key}_clouds_per_sec"] = round(v, 1)
             except Exception as e:  # a kernel/toolchain regression in the
                 # int8 path must degrade the headline, never kill the
@@ -369,12 +424,22 @@ def main():
                 result[f"{key}_error"] = repr(e)[:300]
             if v > dcp_int8:
                 dcp_int8 = v
-                dcp_precision = "int8-ptq-fused" if fused else "int8-ptq"
+                dcp_precision = prec
         dcp = max(dcp_bf16, dcp_int8)
         result["dcp_clouds_per_sec"] = round(dcp, 1)
         result["dcp_vs_baseline"] = round(dcp / _H100_BASELINE_DCP, 3)
         result["dcp_precision"] = dcp_precision if dcp_int8 >= dcp_bf16 else "bf16"
         result["dcp_bf16_clouds_per_sec"] = round(dcp_bf16, 1)
+        try:
+            # one-template-many-sources serving (TemplateRegistrar):
+            # separate key, never the headline (different workload)
+            result["dcp_template_cached_clouds_per_sec"] = round(
+                bench_dcp_template_cached(batch=args.dcp_batch), 1
+            )
+        except Exception as e:
+            print(f"[bench] dcp_template_cached failed: {e!r}"[:500],
+                  file=sys.stderr)
+            result["dcp_template_cached_error"] = repr(e)[:300]
     if args.train:
         result["pointnet_train_clouds_per_sec"] = round(
             bench_pointnet_train(args.batch, args.points), 1

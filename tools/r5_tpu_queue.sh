@@ -1,0 +1,187 @@
+#!/bin/bash
+# Round-5 TPU queue. Front-loads the driver-contract evidence (round-4
+# VERDICT item 10: validation BEFORE multi-hour training), then the
+# release-eval pass that fills every UNVERIFIED manifest entry, then the
+# training campaigns.
+#
+# Phase A — on-chip validation of the VMEM-limit fix + driver contracts
+# Phase B — eval logs for the releases packaged without one
+# Phase C — hard-cls probes (15-epoch PointNet/DGCNN band check)
+# Phase D — registration records: iPCRNet warm start, PRNet 85ep,
+#           RPMNet 60ep
+# Phase E — classification 3-way ordering on the hard set + packaging
+#
+# NEVER edit this file while it is executing (bash reads scripts
+# incrementally at byte offsets).
+set -u
+cd /root/repo
+mkdir -p docs/runs
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
+PREV_PID=$(cat /tmp/tpu_queue.pid 2>/dev/null || echo "")
+if [ -n "$PREV_PID" ]; then
+  echo "waiting for r4 tpu queue pid $PREV_PID"
+  while kill -0 "$PREV_PID" 2>/dev/null; do sleep 30; done
+fi
+echo "=== [$(date +%H:%M:%S)] chip free; r5 queue starts"
+
+# ---------- Phase A: validation ----------
+echo "=== [$(date +%H:%M:%S)] A1 check_tpu_kernels (fused int8 layers post-vmem-fix)"
+timeout 2400 python tools/check_tpu_kernels.py > docs/runs/r5_check_kernels.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] A2 pointer int8 profile (fused vs module)"
+timeout 1800 python tools/profile_pointer_int8.py > docs/runs/r5_pointer_int8.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] A3 bench.py full"
+timeout 3600 python bench.py > docs/runs/r5_bench.json 2> docs/runs/r5_bench.err
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] A4 graft entry"
+timeout 1200 python __graft_entry__.py > docs/runs/r5_graft_entry.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] A5 verify train smoke"
+timeout 900 python examples/train.py --model pointnet --task classification \
+  --epochs 2 --batch_size 64 --num_points 256 \
+  --exp_name verify_smoke --ckpt_dir /tmp/verify_ckpt \
+  > docs/runs/r5_verify_smoke.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] A6 large-N table (EMD@4096 post-vmem-fix, 65536 row)"
+timeout 3600 python tools/bench_large_n.py > docs/runs/r5_large_n_tpu.log 2>&1
+echo "rc=$?"
+
+# ---------- Phase B: release eval pass ----------
+echo "=== [$(date +%H:%M:%S)] B1 r3c_dcp quantized eval (fused serving path)"
+timeout 2400 python examples/evaluate.py --ckpt r3c_dcp --model dcp --task dcp \
+  --batch_size 32 --quantize > docs/runs/r5_dcp_eval.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] B2 r4_pointnet_cls eval (+int8 parity)"
+timeout 1200 python examples/evaluate.py --ckpt r4_pointnet_cls --model pointnet \
+  --task classification --quantize > docs/runs/r4_pointnet_cls_eval.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] B3 r4_pcn eval (chamfer aux)"
+timeout 1200 python examples/evaluate.py --ckpt r4_pcn --model pcn --task pcn \
+  > docs/runs/r5_pcn_eval.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] B4 r4_flownet eval (EPE / Acc3D)"
+timeout 1200 python examples/evaluate.py --ckpt r4_flownet --model flownet \
+  --task flow --dataset_size 256 > docs/runs/r5_flownet_eval.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] B5 r4b_curvenet eval"
+timeout 1800 python examples/evaluate.py --ckpt r4b_curvenet --model curvenet \
+  --task classification --dataset_size 6144 --param_jitter 0.08 \
+  > docs/runs/r4b_curvenet_eval.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] B6 r4b_pointnet_cls eval"
+timeout 1200 python examples/evaluate.py --ckpt r4b_pointnet_cls --model pointnet \
+  --task classification --dataset_size 6144 --param_jitter 0.08 \
+  > docs/runs/r4b_pointnet_cls_eval.log 2>&1
+echo "rc=$?"
+
+# ---------- Phase C: hard-cls probes ----------
+echo "=== [$(date +%H:%M:%S)] C1 probe PointNet on hard set (15 ep)"
+timeout 1800 python examples/train.py --exp_name r5_probe_pointnet_hard \
+  --model pointnet --task classification --epochs 15 --cosine --augment \
+  --label_smoothing 0.2 --batch_size 32 --hard_cls --dataset_size 6144 \
+  --param_jitter 0.08 > docs/runs/r5_probe_pointnet_hard.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] C2 probe DGCNN on hard set (15 ep)"
+timeout 2700 python examples/train.py --exp_name r5_probe_dgcnn_hard \
+  --model dgcnn-cls --task classification --epochs 15 --cosine --augment \
+  --label_smoothing 0.2 --batch_size 32 --hard_cls --dataset_size 6144 \
+  --param_jitter 0.08 > docs/runs/r5_probe_dgcnn_hard.log 2>&1
+echo "rc=$?"
+
+# ---------- Phase D: registration records ----------
+echo "=== [$(date +%H:%M:%S)] D1 iPCRNet warm start (transfer r4_pointnet_cls, 150 ep)"
+timeout 6000 python examples/train.py --exp_name r5_ipcrnet --model ipcrnet \
+  --task ipcrnet --epochs 150 --cosine --grad_clip 1.0 --batch_size 20 \
+  --transfer_ptnet r4_pointnet_cls > docs/runs/r5_ipcrnet.log 2>&1
+echo "rc=$?"
+timeout 900 python examples/evaluate.py --ckpt r5_ipcrnet --model ipcrnet \
+  --task ipcrnet --batch_size 20 --use_bn > docs/runs/r5_ipcrnet_eval.log 2>&1
+echo "eval rc=$?"
+timeout 900 python examples/evaluate.py --ckpt r5_ipcrnet --model ipcrnet \
+  --task ipcrnet --batch_size 20 --use_bn --num_iters 16 \
+  > docs/runs/r5_ipcrnet_eval_iters16.log 2>&1
+echo "eval@16 rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] D2 PRNet extension 60 -> 85 ep"
+timeout 3600 python examples/train.py --exp_name r4_prnet --model prnet \
+  --task prnet --epochs 85 --cosine --grad_clip 1.0 --batch_size 16 \
+  --num_points 1024 --resume latest >> docs/runs/r4_prnet.log 2>&1
+echo "rc=$?"
+timeout 900 python examples/evaluate.py --ckpt r4_prnet --model prnet \
+  --task prnet --batch_size 16 > docs/runs/r5_prnet_eval.log 2>&1
+echo "eval rc=$?"
+timeout 1200 python examples/evaluate.py --ckpt r4_prnet --model prnet \
+  --task prnet --batch_size 16 --num_iters 5 \
+  > docs/runs/r5_prnet_eval_iters5.log 2>&1
+echo "eval@5 rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] D3 RPMNet extension 25 -> 60 ep"
+timeout 3600 python examples/train.py --exp_name r4b_rpmnet --model rpmnet \
+  --task rpmnet --epochs 60 --cosine --grad_clip 1.0 --batch_size 16 \
+  --resume latest >> docs/runs/r4b_rpmnet.log 2>&1
+echo "rc=$?"
+timeout 900 python examples/evaluate.py --ckpt r4b_rpmnet --model rpmnet \
+  --task rpmnet --batch_size 16 > docs/runs/r4b_rpmnet_eval.log 2>&1
+echo "eval rc=$?"
+timeout 1200 python examples/evaluate.py --ckpt r4b_rpmnet --model rpmnet \
+  --task rpmnet --batch_size 16 --num_iters 5 \
+  > docs/runs/r5_rpmnet_eval_iters5.log 2>&1
+echo "eval@5 rc=$?"
+
+# ---------- Phase E: classification ordering on the hard set ----------
+# amplitude may be overridden after the phase-C probes via /tmp/r5_hard_amp
+AMP=$(cat /tmp/r5_hard_amp 2>/dev/null || echo 0.04)
+echo "=== [$(date +%H:%M:%S)] E: hard-set 3-way ordering at detail_amp=$AMP"
+
+echo "=== [$(date +%H:%M:%S)] E1 PointNet 30 ep"
+timeout 2700 python examples/train.py --exp_name r5_pointnet_hard \
+  --model pointnet --task classification --epochs 30 --cosine --augment \
+  --label_smoothing 0.2 --batch_size 32 --hard_cls --detail_amp "$AMP" \
+  --dataset_size 6144 --param_jitter 0.08 > docs/runs/r5_pointnet_hard.log 2>&1
+echo "rc=$?"
+timeout 1200 python examples/evaluate.py --ckpt r5_pointnet_hard --model pointnet \
+  --task classification --hard_cls --detail_amp "$AMP" --dataset_size 6144 \
+  --param_jitter 0.08 > docs/runs/r5_pointnet_hard_eval.log 2>&1
+echo "eval rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] E2 DGCNN 40 ep"
+timeout 5400 python examples/train.py --exp_name r5_dgcnn_hard \
+  --model dgcnn-cls --task classification --epochs 40 --cosine --augment \
+  --label_smoothing 0.2 --batch_size 32 --hard_cls --detail_amp "$AMP" \
+  --dataset_size 6144 --param_jitter 0.08 > docs/runs/r5_dgcnn_hard.log 2>&1
+echo "rc=$?"
+timeout 1800 python examples/evaluate.py --ckpt r5_dgcnn_hard --model dgcnn-cls \
+  --task classification --hard_cls --detail_amp "$AMP" --dataset_size 6144 \
+  --param_jitter 0.08 > docs/runs/r5_dgcnn_hard_eval.log 2>&1
+echo "eval rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] E3 CurveNet 40 ep"
+timeout 7200 python examples/train.py --exp_name r5_curvenet_hard \
+  --model curvenet --task classification --epochs 40 --cosine --augment \
+  --label_smoothing 0.2 --batch_size 32 --hard_cls --detail_amp "$AMP" \
+  --dataset_size 6144 --param_jitter 0.08 > docs/runs/r5_curvenet_hard.log 2>&1
+echo "rc=$?"
+timeout 1800 python examples/evaluate.py --ckpt r5_curvenet_hard --model curvenet \
+  --task classification --hard_cls --detail_amp "$AMP" --dataset_size 6144 \
+  --param_jitter 0.08 > docs/runs/r5_curvenet_hard_eval.log 2>&1
+echo "eval rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] E4 packaging releases/"
+python tools/package_release.py >> docs/runs/r5_queue_packaging.log 2>&1
+echo "rc=$?"
+
+echo "=== [$(date +%H:%M:%S)] r5 queue complete"
