@@ -89,7 +89,22 @@ def main_tpu():
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        t_knn = timed_per_iter(lambda n: knn_many(n, x), tag=f"knn16 N={N}")
+        t_knn = None
+        if N <= 32768:
+            # at N=65536 the per-query-tile (1024, 65536) distance rows
+            # push XLA's top_k into a TPU-worker kernel fault (observed
+            # 2026-08-19: "TPU worker process crashed or restarted");
+            # beyond 32k the supported path is ring kNN over a sharded
+            # point axis (learning3d_tpu/parallel/ring.py), not a bigger
+            # single-chip sort
+            try:
+                t_knn = timed_per_iter(lambda n: knn_many(n, x),
+                                       tag=f"knn16 N={N}")
+            except Exception as e:
+                print(f"knn16 N={N} failed: {e!r}"[:200], flush=True)
+        else:
+            print(f"knn16 N={N}: skipped (single-chip top_k faults; "
+                  "use ring kNN for sharded N)", flush=True)
 
         # --- EMD approxmatch (VMEM-resident all-levels kernel) ---------
         t_emd = None
@@ -108,7 +123,8 @@ def main_tpu():
                 print(f"emd N={N} failed: {e!r}"[:200], flush=True)
 
         rows.append((N, t_ch, t_knn, t_emd))
-        print(f"N={N}: chamfer {t_ch*1e3:.2f} ms, knn16 {t_knn*1e3:.2f} ms"
+        print(f"N={N}: chamfer {t_ch*1e3:.2f} ms"
+              + (f", knn16 {t_knn*1e3:.2f} ms" if t_knn else "")
               + (f", emd {t_emd*1e3:.2f} ms" if t_emd else ""), flush=True)
 
     # correctness spot-check vs the XLA oracle at the largest oracle-safe N
@@ -125,7 +141,8 @@ def main_tpu():
           flush=True)
 
     print("TABLE " + "; ".join(
-        f"N={N}: ch={tc*1e3:.2f}ms knn={tk*1e3:.2f}ms"
+        f"N={N}: ch={tc*1e3:.2f}ms"
+        + (f" knn={tk*1e3:.2f}ms" if tk else "")
         + (f" emd={te*1e3:.2f}ms" if te else "")
         for N, tc, tk, te in rows), flush=True)
 
