@@ -14,22 +14,72 @@ import jax
 import jax.numpy as jnp
 
 
-def knn_blocked(queries, points, k, tile=1024):
+def knn_blocked(queries, points, k, tile=1024, point_tile=8192):
     """Top-k nearest neighbors of ``queries`` (B, N, C) among ``points``
     (B, M, C) without materializing the full (N, M) distance matrix.
+
+    Queries are tiled to ``tile`` rows; past ``point_tile`` the point
+    axis is streamed in chunks with a running top-k merge (top_k inside
+    each chunk, then top_k over the 2k concat with the carry). XLA's
+    top_k over the full M row is a per-row SORT — at M=32768 it
+    dominated the blocked path ~50x over the distance matmuls, and at
+    M=65536 it faulted the TPU worker outright (round-5 large-N run).
+    The merge keeps every sort at most ``point_tile`` wide, so cost
+    scales like M·log(point_tile) with bounded memory.
 
     Returns (sq_dists (B, N, k), idx (B, N, k)), nearest first.
     """
     B, N, C = queries.shape
-    if N <= tile:
+    M = points.shape[1]
+    if N <= tile and M <= point_tile:
         return _knn_tile(queries, points, k)
+
+    def one(q_tile):  # (B, tile, C) -> top-k among all of `points`
+        if M <= point_tile:
+            return _knn_tile(q_tile, points, k)
+        padM = (-M) % point_tile
+        # pad rows sit at a huge coordinate so they can never enter a
+        # chunk's LOCAL top-k ahead of real points (zero-padding would:
+        # the origin can be the true nearest neighborhood)
+        p = (
+            jnp.pad(points, ((0, 0), (0, padM), (0, 0)),
+                    constant_values=1e18)
+            if padM
+            else points
+        )
+        chunks = jnp.swapaxes(
+            p.reshape(B, -1, point_tile, C), 0, 1
+        )  # (Tp, B, point_tile, C)
+        n_valid = M  # pad rows get +inf distance below
+
+        def merge(carry, inp):
+            d_best, i_best = carry  # (B, tile, k) running nearest
+            c, p_chunk = inp
+            d, idx = _knn_tile(q_tile, p_chunk, k)  # local top-k
+            base = c * point_tile
+            # mask pad rows (only the last chunk has them)
+            valid = (base + idx) < n_valid
+            d = jnp.where(valid, d, jnp.inf)
+            d2 = jnp.concatenate([d_best, d], -1)  # (B, tile, 2k)
+            i2 = jnp.concatenate([i_best, base + idx], -1)
+            neg, sel = jax.lax.top_k(-d2, k)
+            return (-neg, jnp.take_along_axis(i2, sel, -1)), None
+
+        init = (
+            jnp.full((B, q_tile.shape[1], k), jnp.inf, points.dtype),
+            jnp.zeros((B, q_tile.shape[1], k), jnp.int32),
+        )
+        (d, idx), _ = jax.lax.scan(
+            merge, init, (jnp.arange(chunks.shape[0]), chunks)
+        )
+        return d, idx
+
+    if N <= tile:
+        return one(queries)
     pad = (-N) % tile
     q = jnp.pad(queries, ((0, 0), (0, pad), (0, 0))) if pad else queries
     q = q.reshape(B, -1, tile, C)  # (B, T, tile, C)
     q = jnp.swapaxes(q, 0, 1)  # (T, B, tile, C)
-
-    def one(q_tile):
-        return _knn_tile(q_tile, points, k)
 
     d, idx = jax.lax.map(one, q)
     d = jnp.swapaxes(d, 0, 1).reshape(B, -1, k)[:, :N]

@@ -114,6 +114,22 @@ class TestBlockedKNN:
             np.asarray(d), np.take_along_axis(D, np.asarray(idx), -1), atol=1e-4
         )
 
+    def test_streamed_point_axis_matches_dense(self):
+        """M > point_tile streams point chunks with a running top-k merge
+        (the large-N path: one top_k over the full M row faulted the TPU
+        worker at M=65536). Points cluster near the origin so zero-padded
+        chunk rows would win the local top-k if padding were wrong."""
+        k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+        q = jax.random.normal(k1, (2, 70, 3))
+        p = jax.random.normal(k2, (2, 300, 3)) * 0.01
+        d, idx = knn.knn_blocked(q, p, 5, tile=32, point_tile=64)
+        D = np_sqdist(np.asarray(q), np.asarray(p))
+        ref_idx = np.argsort(D, -1)[..., :5]
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1), np.sort(ref_idx, -1))
+        np.testing.assert_allclose(
+            np.asarray(d), np.take_along_axis(D, np.asarray(idx), -1), atol=1e-4
+        )
+
 
 class TestLossReductions:
     def test_frobenius_identity(self):

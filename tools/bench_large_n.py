@@ -89,22 +89,15 @@ def main_tpu():
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
+        # knn_blocked streams point chunks with a running top-k merge
+        # past point_tile=8192 — a single top_k over the full M row
+        # faulted the TPU worker at M=65536 and dominated ~50x at 32k
         t_knn = None
-        if N <= 32768:
-            # at N=65536 the per-query-tile (1024, 65536) distance rows
-            # push XLA's top_k into a TPU-worker kernel fault (observed
-            # 2026-08-19: "TPU worker process crashed or restarted");
-            # beyond 32k the supported path is ring kNN over a sharded
-            # point axis (learning3d_tpu/parallel/ring.py), not a bigger
-            # single-chip sort
-            try:
-                t_knn = timed_per_iter(lambda n: knn_many(n, x),
-                                       tag=f"knn16 N={N}")
-            except Exception as e:
-                print(f"knn16 N={N} failed: {e!r}"[:200], flush=True)
-        else:
-            print(f"knn16 N={N}: skipped (single-chip top_k faults; "
-                  "use ring kNN for sharded N)", flush=True)
+        try:
+            t_knn = timed_per_iter(lambda n: knn_many(n, x),
+                                   tag=f"knn16 N={N}")
+        except Exception as e:
+            print(f"knn16 N={N} failed: {e!r}"[:200], flush=True)
 
         # --- EMD approxmatch (VMEM-resident all-levels kernel) ---------
         t_emd = None
