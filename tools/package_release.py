@@ -90,6 +90,28 @@ DEFAULT_EXPS = {
         "PointNet classification on the same enlarged set (ordering control)",
         "r4b_pointnet_cls_eval.log",
     ),
+    # round-5 records: iPCRNet classifier warm start + the hard-cls
+    # three-way ordering set (group-aliased globals, label-keyed detail).
+    "r5_ipcrnet": (
+        "ipcrnet", "ipcrnet",
+        "iterative registration (classifier-transferred PointNet features)",
+        "r5_ipcrnet_eval.log",
+    ),
+    "r5_pointnet_hard": (
+        "pointnet", "classification",
+        "PointNet on the hard synthetic set (ordering benchmark, --hard_cls)",
+        "r5_pointnet_hard_eval.log",
+    ),
+    "r5_dgcnn_hard": (
+        "dgcnn-cls", "classification",
+        "DGCNN on the hard synthetic set (ordering benchmark, --hard_cls)",
+        "r5_dgcnn_hard_eval.log",
+    ),
+    "r5_curvenet_hard": (
+        "curvenet", "classification",
+        "CurveNet on the hard synthetic set (ordering benchmark, --hard_cls)",
+        "r5_curvenet_hard_eval.log",
+    ),
 }
 
 # lines that count as "the eval recorded real numbers"
