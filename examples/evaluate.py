@@ -36,6 +36,9 @@ def main():
                    "training run's (see train.py --hard_cls)")
     p.add_argument("--detail_amp", type=float, default=0.04,
                    help="hard-mode corrugation amplitude — match the training run's")
+    p.add_argument("--pcn_detailed", action="store_true",
+                   help="PCN: build with the folding fine decoder — match the "
+                   "training run's (see train.py --pcn_detailed)")
     p.add_argument("--cls_noise", type=float, default=None,
                    help="synthetic per-point noise sigma override — match the "
                    "training run's")

@@ -63,7 +63,15 @@ def build_model(name, args, rngs):
     if name == "masknet2":
         return models.MaskNet2(rngs=rngs)
     if name == "pcn":
-        return models.PCN(emb_dims=1024, rngs=rngs)
+        # --pcn_detailed adds the folding fine decoder (the PCN paper's
+        # full model; the reference default trains coarse-only,
+        # examples/train_pcn.py:58) — the pcn task then trains and
+        # reports both stages' chamfer.
+        return models.PCN(
+            emb_dims=1024,
+            detailed_output=getattr(args, "pcn_detailed", False),
+            rngs=rngs,
+        )
     if name == "flownet":
         return models.FlowNet3D(rngs=rngs)
     raise ValueError(
@@ -145,6 +153,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="pointnet")
     p.add_argument("--task", default="classification")
+    p.add_argument("--pcn_detailed", action="store_true",
+                   help="PCN: add the folding fine decoder (trains and "
+                   "reports coarse+fine chamfer)")
     p.add_argument("--exp_name", default=None)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_points", type=int, default=1024)

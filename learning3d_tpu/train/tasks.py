@@ -109,17 +109,24 @@ def deepgmr(model, batch, key):
 
 
 def pcn(model, batch, key):
-    """Chamfer(points, coarse_output) (reference examples/train_pcn.py:58).
+    """Chamfer(points, coarse_output) (reference examples/train_pcn.py:58);
+    with the folding decoder on (PCN(detailed_output=True), the PCN
+    paper's full model) the fine stage's chamfer joins the loss so the
+    decoder actually trains — the coarse-only recipe is unchanged when
+    the decoder is absent.
 
     Aux carries the per-stage chamfer the reference's test script reports
     (test_pcn.py:25-60): coarse always, fine when the folding decoder is
     on — so evaluate.py --task pcn prints real completion metrics."""
     (points,) = batch if isinstance(batch, tuple) and len(batch) == 1 else (batch[0],)
     out = model(points)
-    loss = losses.chamfer_distance_loss(points, out["coarse_output"])
-    aux = {"chamfer_coarse": loss}
+    coarse = losses.chamfer_distance_loss(points, out["coarse_output"])
+    loss = coarse
+    aux = {"chamfer_coarse": coarse}
     if "fine_output" in out:
-        aux["chamfer_fine"] = losses.chamfer_distance_loss(points, out["fine_output"])
+        fine = losses.chamfer_distance_loss(points, out["fine_output"])
+        aux["chamfer_fine"] = fine
+        loss = coarse + fine
     return loss, aux
 
 

@@ -271,6 +271,32 @@ class TestOther:
         assert result["coarse_output"].shape == (B, 128, 3)
         assert result["fine_output"].shape == (B, 128 * 16, 3)
 
+    def test_pcn_task_trains_fine_decoder(self):
+        # With the folding decoder on, the pcn task's loss must include
+        # the fine stage (else the decoder never trains) and its grads
+        # must reach conv5-7; the coarse-only recipe stays the reference
+        # chamfer-on-coarse (train_pcn.py:58).
+        from flax import nnx as _nnx
+
+        from learning3d_tpu.train import tasks
+
+        pts = clouds()
+        key = jax.random.PRNGKey(0)
+        net = models.PCN(emb_dims=256, num_coarse=128, detailed_output=True, rngs=nnx.Rngs(0))
+        loss, aux = tasks.pcn(net, (pts,), key)
+        assert set(aux) == {"chamfer_coarse", "chamfer_fine"}
+        np.testing.assert_allclose(
+            float(loss), float(aux["chamfer_coarse"] + aux["chamfer_fine"]), rtol=1e-6
+        )
+        g = _nnx.grad(lambda m: tasks.pcn(m, (pts,), key)[0])(net)
+        fine_g = np.abs(np.asarray(g["conv7"]["kernel"][...])).max()
+        assert np.isfinite(fine_g) and fine_g > 0
+
+        coarse_net = models.PCN(emb_dims=256, num_coarse=128, rngs=nnx.Rngs(0))
+        loss_c, aux_c = tasks.pcn(coarse_net, (pts,), key)
+        assert set(aux_c) == {"chamfer_coarse"}
+        np.testing.assert_allclose(float(loss_c), float(aux_c["chamfer_coarse"]), rtol=1e-6)
+
     def test_masknet(self):
         pn = models.PointNet(emb_dims=128, use_bn=True, rngs=nnx.Rngs(0))
         net = models.MaskNet(pn, rngs=nnx.Rngs(1))
