@@ -206,7 +206,9 @@ class SyntheticModelNet40:
     def version_tag(self):
         tag = f"synthetic-v{self.VERSION}"
         if self.hard:
-            tag += f"h+amp{self.detail_amp:g}+noise{self.noise:g}"
+            # h2 = the 2.0-4.5 corrugation band (round 5); h was the
+            # unlearnable 6-14 band
+            tag += f"h2+amp{self.detail_amp:g}+noise{self.noise:g}"
         if self.param_jitter:
             tag += f"+jitter{self.param_jitter:g}"
         if self.size != 2048:
@@ -294,12 +296,21 @@ class SyntheticModelNet40:
             # the benchmark separates local-geometry models from global
             # max-pool ones (the property that makes real ModelNet40
             # discriminate; reference exp_curvenet vs exp_classifier).
+            # Frequency band 2.0-4.5 cycles: round 4 used 6-14, which is
+            # unlearnable at num_points=1024 / noise 0.025 — the per-point
+            # positional noise decorrelates the wave phase (~1.6 rad at
+            # f=10) and the surface wavelength (1/f ~ 0.07-0.17) sits at
+            # the sampling Nyquist limit, so every model trained AND
+            # tested at the 0.25 group ceiling (r5_pointnet_hard.log,
+            # r5_dgcnn_hard.log, r5_curvenet_hard.log). At 2.0-4.5 the
+            # matched-filter bound is 1.0 and neighborhoods carry a
+            # coherent gradient (tools/diagnose_hard_cls.py).
             drng = np.random.default_rng(777_000_001 + 101 * label)
             wave = np.zeros((pts.shape[0], 1), np.float32)
             for _ in range(3):
                 d = drng.standard_normal(3).astype(np.float32)
                 d /= np.linalg.norm(d) + 1e-9
-                freq = 6.0 + 8.0 * drng.random()
+                freq = 2.0 + 2.5 * drng.random()
                 phase = 2 * np.pi * drng.random()
                 camp = 0.7 + 0.6 * drng.random()
                 wave += (camp / 3.0) * np.cos(

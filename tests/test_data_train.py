@@ -35,7 +35,7 @@ class TestData:
             num_points=npts, size=n_cls * per_cls * 4, num_classes=n_cls,
             hard=True, detail_amp=0.04,
         )
-        assert "h+amp" in ds.version_tag()
+        assert "h2+amp" in ds.version_tag()
         assert ds.version_tag() != SyntheticModelNet40(
             num_points=npts, size=n_cls * per_cls * 4, num_classes=n_cls
         ).version_tag()
