@@ -176,6 +176,13 @@ def main():
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off); non-finite "
                    "steps are always skipped (TrainConfig.skip_nonfinite)")
+    p.add_argument("--curriculum", type=int, default=0,
+                   help="registration transform-magnitude curriculum: ramp "
+                   "the train loader's transform scale 0.2 -> 1.0 over this "
+                   "many epochs (0 = off; eval difficulty is always 1.0)")
+    p.add_argument("--best_metric", default="loss",
+                   help="test-aux key for best-checkpoint selection (e.g. "
+                   "rot_deg for registration; default: test loss)")
     p.add_argument("--nearest_neighbors", type=int, default=20)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--resume", default="")
@@ -225,6 +232,8 @@ def main():
         weight_decay=args.weight_decay,
         grad_clip_norm=args.grad_clip,
         masknet_loss=args.masknet_loss,
+        curriculum_epochs=args.curriculum,
+        best_metric=args.best_metric,
     )
     model = build_model(args.model, args, nnx.Rngs(args.seed))
     if args.transfer_ptnet:

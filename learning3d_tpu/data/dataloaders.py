@@ -472,6 +472,17 @@ class RegistrationData:
         # what eval uses) reproduces the old deterministic pairs.
         self.resample_per_epoch = algorithm not in ("PCRNet", "iPCRNet")
         self._epoch = 0
+        # training-time transform-magnitude curriculum (Trainer sets it
+        # via set_difficulty when TrainConfig.curriculum_epochs > 0).
+        # Motivation: chamfer-trained iterative registration (iPCRNet)
+        # has a wide wrong-pose attractor at full +-45deg/+-1.0
+        # magnitudes — round-5's runs fell into it (loss improving while
+        # rot_deg climbed to ~70deg+, docs/runs/r5_ipcrnet.log) — while
+        # small transforms keep the chamfer gradient inside the gt
+        # basin. Scaling the SAME per-index rng draws means the pairs
+        # ramp smoothly toward the fixed full-difficulty pairs
+        # (scale=1.0 reproduces them exactly); eval never sets it.
+        self._difficulty = 1.0
 
         # per-algorithm transform parameters (dataloaders.py:264-283)
         if algorithm in ("PCRNet", "iPCRNet"):
@@ -491,12 +502,19 @@ class RegistrationData:
         loaders, which keep the reference's fixed per-index transforms)."""
         self._epoch = int(epoch) if self.resample_per_epoch else 0
 
+    def set_difficulty(self, scale):
+        """Scale transform magnitudes (rotation AND translation) by
+        ``scale`` in [0, 1] — the training curriculum hook. 1.0 is the
+        full per-algorithm distribution."""
+        self._difficulty = float(min(max(scale, 0.0), 1.0))
+
     def _sample_transform(self, rng):
         from scipy.spatial.transform import Rotation
 
+        s = self._difficulty
         if self.mode == "twist":
             x = rng.standard_normal(6)
-            x = x / np.linalg.norm(x) * (self.mag * rng.random())
+            x = x / np.linalg.norm(x) * (s * self.mag * rng.random())
             w, v = x[:3], x[3:]
             R = Rotation.from_rotvec(w).as_matrix()
             t_norm = np.linalg.norm(w)
@@ -513,14 +531,14 @@ class RegistrationData:
             t = V @ v
         elif self.mode == "euler_pm":
             mr = deg_to_rad(self.angle_range)
-            e = rng.uniform(-mr, mr, 3)
+            e = s * rng.uniform(-mr, mr, 3)
             R = Rotation.from_euler("XYZ", e).as_matrix()
-            t = rng.uniform(-self.translation_range, self.translation_range, 3)
+            t = s * rng.uniform(-self.translation_range, self.translation_range, 3)
         else:  # euler_pos — positive-only angles, the DCP distribution
             mr = deg_to_rad(self.angle_range)
-            e = rng.uniform(0, mr, 3)
+            e = s * rng.uniform(0, mr, 3)
             R = Rotation.from_euler("zyx", e).as_matrix()
-            t = rng.uniform(-self.translation_range, self.translation_range, 3)
+            t = s * rng.uniform(-self.translation_range, self.translation_range, 3)
         igt = np.eye(4, dtype=np.float32)
         igt[:3, :3] = R
         igt[:3, 3] = t

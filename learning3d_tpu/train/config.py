@@ -38,6 +38,20 @@ class TrainConfig:
     # 2 steps) while BCE's (sigmoid(z) - gt) does not.
     masknet_loss: str = "bce"
     grad_clip_norm: float = 0.0  # >0: clip grads to this global L2 norm
+    # transform-magnitude curriculum for registration tasks: >0 ramps the
+    # train loader's transform scale 0.2 -> 1.0 over this many epochs
+    # (RegistrationData.set_difficulty). Chamfer-trained iterative
+    # registration falls into a wide wrong-pose attractor when it starts
+    # at full +-45deg/+-1.0 magnitudes (r5_ipcrnet.log: loss improved
+    # while rot_deg climbed 42deg -> ~100deg); small early transforms
+    # keep the gradient inside the gt basin. Eval difficulty stays 1.0.
+    curriculum_epochs: int = 0
+    # test-aux key that selects the "best" checkpoint ("loss" = test
+    # loss). Chamfer ranks wrong-pose solutions above half-converged
+    # ones on symmetric-ish shapes, so registration runs should select
+    # on rot_deg — loss-selected "best" at r5_ipcrnet's end was the
+    # 70deg attractor while epoch 6 sat at 42deg.
+    best_metric: str = "loss"
     # failure detection: a non-finite gradient (exploding SVD/gumbel step)
     # zeroes the update instead of poisoning the params forever — the
     # run continues from finite weights (r3 PRNet NaN'd at epoch 22/70

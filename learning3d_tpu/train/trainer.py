@@ -312,8 +312,13 @@ class Trainer:
         if self.cfg.resume:
             self.load(self.cfg.resume)
         start = self.epoch
+        cur = int(getattr(self.cfg, "curriculum_epochs", 0) or 0)
+        metric = getattr(self.cfg, "best_metric", "loss") or "loss"
         for ep in range(start, epochs):
             self.epoch = ep
+            if cur > 0 and hasattr(train_data, "set_difficulty"):
+                # ramp 0.2 -> 1.0 over the first `cur` epochs, then full
+                train_data.set_difficulty(min(1.0, 0.2 + 0.8 * ep / cur))
             t0 = time.time()
             train_loss, train_aux = self._epoch(train_data, train=True)
             msg = f"epoch {ep}: train_loss={train_loss:.6f}"
@@ -322,8 +327,9 @@ class Trainer:
                 msg += f" test_loss={test_loss:.6f}"
                 for k, v in {**test_aux}.items():
                     msg += f" {k}={v:.4f}"
-                if test_loss < self.best_loss:
-                    self.best_loss = test_loss
+                score = test_loss if metric == "loss" else test_aux.get(metric, test_loss)
+                if score < self.best_loss:
+                    self.best_loss = score
                     self.save("best")
             for k, v in train_aux.items():
                 msg += f" train_{k}={v:.4f}"

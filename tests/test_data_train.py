@@ -333,6 +333,65 @@ class TestTrainer:
         _, aux = tr.evaluate(ds)
         assert aux["accuracy"] > 0.5, aux  # learns on a tiny synthetic set
 
+    def test_registration_difficulty_curriculum(self):
+        """set_difficulty scales rotation AND translation magnitudes from
+        the SAME per-index draws (scale 1.0 reproduces the fixed pairs,
+        0.0 is the identity), Trainer ramps it per the config schedule,
+        and best-checkpoint selection can key on a test-aux metric
+        (round-5: chamfer-selected 'best' was the 70deg wrong-pose
+        attractor, docs/runs/r5_ipcrnet.log)."""
+        from learning3d_tpu.data import RegistrationData, SyntheticModelNet40
+        from learning3d_tpu.train import TrainConfig, Trainer
+        from learning3d_tpu.train.trainer import Trainer as _T  # noqa: F401
+
+        base = SyntheticModelNet40(num_points=64, size=8)
+        ds = RegistrationData("iPCRNet", base)
+        _, _, igt_full = ds[3]
+        ds.set_difficulty(1.0)
+        _, _, igt_one = ds[3]
+        np.testing.assert_array_equal(igt_full, igt_one)
+        ds.set_difficulty(0.0)
+        tmpl, src, igt_zero = ds[3]
+        np.testing.assert_allclose(igt_zero, np.eye(4), atol=1e-6)
+        np.testing.assert_allclose(src, tmpl, atol=1e-6)
+        ds.set_difficulty(0.5)
+        _, _, igt_half = ds[3]
+        from scipy.spatial.transform import Rotation
+
+        ang = lambda m: np.linalg.norm(Rotation.from_matrix(m[:3, :3]).as_rotvec())
+        assert 0 < ang(igt_half) < ang(igt_full)
+        assert 0 < np.linalg.norm(igt_half[:3, 3]) < np.linalg.norm(igt_full[:3, 3])
+        # half-scale euler angles are exactly half the full-scale draws
+        e_full = Rotation.from_matrix(igt_full[:3, :3]).as_euler("XYZ")
+        e_half = Rotation.from_matrix(igt_half[:3, :3]).as_euler("XYZ")
+        np.testing.assert_allclose(e_half, 0.5 * e_full, atol=1e-6)
+        np.testing.assert_allclose(igt_half[:3, 3], 0.5 * igt_full[:3, 3], atol=1e-6)
+
+        # Trainer schedule: difficulty follows 0.2 + 0.8*ep/cur, capped at 1
+        calls = []
+        orig = ds.set_difficulty
+        ds.set_difficulty = lambda s: (calls.append(s), orig(s))[1]
+        from learning3d_tpu import models
+
+        cfg = TrainConfig(
+            task="ipcrnet", batch_size=8, epochs=3, curriculum_epochs=2,
+            best_metric="rot_deg", ckpt_dir="/tmp/l3d_test_ckpt",
+            exp_name="curriculum_smoke", num_points=64,
+        )
+        pn = models.PointNet(emb_dims=64, rngs=nnx.Rngs(0))
+        model = models.iPCRNet(pn, rngs=nnx.Rngs(1))
+        tr = Trainer(cfg, model)
+        tr.fit(ds, test_data=RegistrationData("iPCRNet", base), epochs=3)
+        np.testing.assert_allclose(calls, [0.2, 0.6, 1.0])
+        # best_metric selection recorded the aux metric, not the loss
+        import json as _json
+        from pathlib import Path as _Path
+
+        meta = _json.loads(
+            (_Path("/tmp/l3d_test_ckpt") / "curriculum_smoke" / "best" / "meta.json").read_text()
+        )
+        assert meta["best_loss"] > 1.0  # rot_deg in degrees, not a chamfer
+
     def test_optimizer_state_resume(self):
         """Adam moments must survive a save/load round-trip (reference
         snap dict restores the optimizer, train_pointnet.py:132-142)."""
