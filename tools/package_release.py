@@ -90,27 +90,33 @@ DEFAULT_EXPS = {
         "PointNet classification on the same enlarged set (ordering control)",
         "r4b_pointnet_cls_eval.log",
     ),
-    # round-5 records: iPCRNet classifier warm start + the hard-cls
-    # three-way ordering set (group-aliased globals, label-keyed detail).
-    "r5_ipcrnet": (
+    # round-5 records (v2): the r5_* first attempts are deliberately
+    # absent — the warm-started r5_ipcrnet converged to the chamfer
+    # wrong-pose attractor (docs/runs/r5_ipcrnet_eval.log, 73.7deg;
+    # root cause: tools/diagnose_ipcrnet_attractor.py) and the first
+    # hard-cls band (6-14 cycles) was unlearnable for every model
+    # (tools/diagnose_hard_cls.py). r5b_* are the fixed-recipe runs:
+    # transform-magnitude curriculum + rot_deg best-checkpoint selection
+    # for iPCRNet, corrugation band 2.0-4.5 for the ordering benchmark.
+    "r5b_ipcrnet": (
         "ipcrnet", "ipcrnet",
-        "iterative registration (classifier-transferred PointNet features)",
-        "r5_ipcrnet_eval.log",
+        "iterative registration (transform-magnitude curriculum recipe)",
+        "r5b_ipcrnet_eval.log",
     ),
-    "r5_pointnet_hard": (
+    "r5b_pointnet_hard": (
         "pointnet", "classification",
         "PointNet on the hard synthetic set (ordering benchmark, --hard_cls)",
-        "r5_pointnet_hard_eval.log",
+        "r5b_pointnet_hard_eval.log",
     ),
-    "r5_dgcnn_hard": (
+    "r5b_dgcnn_hard": (
         "dgcnn-cls", "classification",
         "DGCNN on the hard synthetic set (ordering benchmark, --hard_cls)",
-        "r5_dgcnn_hard_eval.log",
+        "r5b_dgcnn_hard_eval.log",
     ),
-    "r5_curvenet_hard": (
+    "r5b_curvenet_hard": (
         "curvenet", "classification",
         "CurveNet on the hard synthetic set (ordering benchmark, --hard_cls)",
-        "r5_curvenet_hard_eval.log",
+        "r5b_curvenet_hard_eval.log",
     ),
 }
 
