@@ -118,6 +118,19 @@ DEFAULT_EXPS = {
         "CurveNet on the hard synthetic set (ordering benchmark, --hard_cls)",
         "r5b_curvenet_hard_eval.log",
     ),
+    # same-set ordering run: G1's r5b_pointnet_hard trained at amp 0.04
+    # before the 0.08 difficulty decision; r5c re-runs PointNet at the
+    # ordering set's amp so the 3-way comparison shares one distribution
+    "r5c_pointnet_hard": (
+        "pointnet", "classification",
+        "PointNet on the hard synthetic set at detail_amp 0.08 (ordering row)",
+        "r5c_pointnet_hard_eval.log",
+    ),
+    "r5_pcn_detailed": (
+        "pcn", "pcn",
+        "completion with the folding fine decoder trained (--pcn_detailed)",
+        "r5_pcn_detailed_eval.log",
+    ),
 }
 
 # lines that count as "the eval recorded real numbers"
