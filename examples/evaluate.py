@@ -59,6 +59,18 @@ def main():
         "serving-time knob, no retraining (0 = model default)",
     )
     p.add_argument(
+        "--multistart",
+        type=int,
+        default=0,
+        help="serving-time multi-start registration: fold K coarse "
+        "octahedral-group initial rotations into the batch and keep the "
+        "start with the lowest symmetric chamfer per item "
+        "(learning3d_tpu.serve.multistart_register). Escapes the "
+        "wrong-pose chamfer attractors of iterative registration "
+        "(tools/diagnose_ipcrnet_attractor.py) without retraining "
+        "(0 = off; K in [1, 24])",
+    )
+    p.add_argument(
         "--use_bn",
         action="store_true",
         help="build the encoder with BatchNorm (required to load ipcrnet "
@@ -204,11 +216,23 @@ def evaluate_registration(model, test_data, args, mask_model=None):
 
     import jax
 
-    @jax.jit
-    def fwd(state, template, source):
-        m = nnx.merge(graphdef, state)
-        out = m(source, template) if order == "source_template" else m(template, source)
-        return out["est_T"]
+    if getattr(args, "multistart", 0):
+        from learning3d_tpu.serve import multistart_register, rotation_starts
+
+        rots = rotation_starts(args.multistart)
+
+        @jax.jit
+        def fwd(state, template, source):
+            m = nnx.merge(graphdef, state)
+            return multistart_register(m, template, source, rots)["est_T"]
+
+    else:
+
+        @jax.jit
+        def fwd(state, template, source):
+            m = nnx.merge(graphdef, state)
+            out = m(source, template) if order == "source_template" else m(template, source)
+            return out["est_T"]
 
     if mask_model is not None:
         mask_model.eval()

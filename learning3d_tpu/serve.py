@@ -37,6 +37,112 @@ from flax import nnx
 from learning3d_tpu.parallel.mesh import shard_batch
 
 
+def rotation_starts(n_starts: int = 8):
+    """Deterministic coarse cover of SO(3) for multi-start registration:
+    the first ``n_starts`` elements of the 24-rotation octahedral group
+    (all signed 3x3 permutation matrices with det +1), greedily ordered
+    for spread — identity first, then farthest-point ordering in the
+    geodesic metric. Max n_starts is 24.
+
+    Why this grid: chamfer-trained iterative registration has wrong-pose
+    attractors 40-180 deg from the ground truth
+    (tools/diagnose_ipcrnet_attractor.py); a coarse deterministic cover
+    guarantees some start lands the composed problem inside the correct
+    basin, and the per-item chamfer gap between basins (~0.2 vs ~0.0x)
+    makes the winning start unambiguous.
+    """
+    if not 1 <= n_starts <= 24:
+        raise ValueError("n_starts must be in [1, 24] (octahedral rotation group)")
+    import itertools
+
+    rots = []
+    for perm in itertools.permutations(range(3)):
+        for signs in itertools.product((1.0, -1.0), repeat=3):
+            R = np.zeros((3, 3), np.float32)
+            for i, (j, s) in enumerate(zip(perm, signs)):
+                R[i, j] = s
+            if np.linalg.det(R) > 0:
+                rots.append(R)
+    rots = np.stack(rots)  # (24, 3, 3)
+    # farthest-point ordering, seeded at the identity
+    order = [int(np.argmax([np.trace(R) for R in rots]))]
+    rest = [i for i in range(len(rots)) if i != order[0]]
+    while rest and len(order) < n_starts:
+        # geodesic distance ~ arccos((tr(Ra^T Rb) - 1) / 2); trace is monotone
+        dmin = [
+            min(np.trace(rots[a].T @ rots[b]) for b in order) for a in rest
+        ]  # larger trace = closer — pick the SMALLEST max-trace (farthest)
+        nxt = rest[int(np.argmin(dmin))]
+        order.append(nxt)
+        rest.remove(nxt)
+    return jnp.asarray(rots[order[:n_starts]])
+
+
+def multistart_register(model, template, source, rotations):
+    """Multi-start registration: fold K coarse initial rotations into the
+    batch axis (one forward at batch K*B — TPU-friendly: the MXU sees one
+    bigger matmul, not K small ones), then pick per item the start whose
+    composed transform gives the lowest symmetric chamfer.
+
+    model:     any registration model returning {"est_T": (B, 4, 4)}
+               (est_T maps source -> template); ``forward_arg_order``
+               is honored (PRNet takes (source, template)).
+    template:  (B, N, 3) or (B, N, 6) with normals
+    source:    (B, M, 3) or (B, M, 6)
+    rotations: (K, 3, 3) initial rotations (see ``rotation_starts``),
+               applied about each source's centroid before the forward.
+
+    Returns {"est_T": (B, 4, 4) composed best transform,
+             "start_idx": (B,) winning start, "chamfer": (B,) its score}.
+    Jittable; no data-dependent control flow.
+    """
+    from learning3d_tpu.kernels.chamfer import chamfer_distance
+
+    Rs = jnp.asarray(rotations, template.dtype)
+    K = Rs.shape[0]
+    B = template.shape[0]
+    xyz = source[..., :3]
+    c = xyz.mean(axis=1)  # (B, 3) rotate about the source centroid so the
+    # pre-rotated cloud stays inside the translation range the model saw
+    rot = jnp.einsum("kij,bmj->kbmi", Rs, xyz - c[:, None, :]) + c[None, :, None, :]
+    if source.shape[-1] > 3:  # carry normals through the pre-rotation
+        nrm = jnp.einsum("kij,bmj->kbmi", Rs, source[..., 3:6])
+        rot = jnp.concatenate([rot, nrm], axis=-1)
+    src_k = rot.reshape((K * B,) + rot.shape[2:])
+    tmpl_k = jnp.broadcast_to(template[None], (K,) + template.shape).reshape(
+        (K * B,) + template.shape[1:]
+    )
+    order = getattr(model, "forward_arg_order", "template_source")
+    out = model(src_k, tmpl_k) if order == "source_template" else model(tmpl_k, src_k)
+    est = out["est_T"].reshape(K, B, 4, 4)
+    # pre-rotation as a 4x4: G_k x = R_k (x - c) + c
+    Gt = c[None] - jnp.einsum("kij,bj->kbi", Rs, c)  # (K, B, 3)
+    G = jnp.zeros((K, B, 4, 4), est.dtype)
+    G = G.at[..., :3, :3].set(jnp.broadcast_to(Rs[:, None], (K, B, 3, 3)))
+    G = G.at[..., :3, 3].set(Gt)
+    G = G.at[..., 3, 3].set(1.0)
+    total = est @ G  # maps the ORIGINAL source -> template
+    moved = (
+        jnp.einsum("kbij,bmj->kbmi", total[..., :3, :3], xyz)
+        + total[..., :3, 3][:, :, None, :]
+    )
+    t_flat = jnp.broadcast_to(
+        template[None, ..., :3], (K, B) + template.shape[1:-1] + (3,)
+    ).reshape(K * B, template.shape[1], 3)
+    d1, d2 = chamfer_distance(t_flat, moved.reshape(K * B, -1, 3))
+    score = 0.5 * (
+        jnp.mean(jnp.sqrt(jnp.maximum(d1, 1e-12)), axis=-1)
+        + jnp.mean(jnp.sqrt(jnp.maximum(d2, 1e-12)), axis=-1)
+    ).reshape(K, B)
+    k_star = jnp.argmin(score, axis=0)  # (B,)
+    pick = jnp.take_along_axis(total, k_star[None, :, None, None], axis=0)[0]
+    return {
+        "est_T": pick,
+        "start_idx": k_star,
+        "chamfer": jnp.min(score, axis=0),
+    }
+
+
 def export_model(model: nnx.Module, *example_inputs, path: str | None = None):
     """Serialize an eval-mode model to a portable StableHLO artifact
     (jax.export): weights baked in, loadable and runnable WITHOUT the
