@@ -70,6 +70,7 @@ def _fused_kernel(
     group,
     n_valid,
     dot_dtype,
+    approx_knn,
 ):
     f32 = jnp.float32
     xt = xt_ref[0]  # (3, TN)
@@ -81,7 +82,27 @@ def _fused_kernel(
     d2 = xt[2][:, None] - xf[2][None, :]
     d = d0 * d0 + d1 * d1 + d2 * d2  # (TN, Np)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    d = jnp.where(col < n_valid, d, _BIG)
+    Np = d.shape[1]
+    if approx_knn:
+        # Quantized-key selection: pack round(d * S) and the column into
+        # ONE int32 key (key = dq * Np + col). The row-wise min key then
+        # IDENTIFIES the neighbor — no argmin-resolve traversal — and
+        # keys are globally distinct (the col term), so each pick is a
+        # single fused pass: compare, one-hot write, mask, next-min.
+        # Cost: distances collapse to `levels` buckets per tile (bucket
+        # width max(d)/2^20 at Np=1024), so near-ties inside one bucket
+        # resolve toward the smaller index instead of the true order —
+        # the documented approximation (selection only; gathered
+        # features and the conv chain are untouched).
+        levels = (1 << (30 - (Np - 1).bit_length())) - 1
+        maxd = jnp.max(jnp.where(col < n_valid, d, 0.0))
+        scale = jnp.float32(levels) / jnp.maximum(maxd, jnp.float32(1e-20))
+        key = (d * scale).astype(jnp.int32) * jnp.int32(Np) + col
+        d = jnp.where(col < n_valid, key, jnp.int32(2**31 - 1))
+        _MASKED = jnp.int32(2**31 - 1)
+    else:
+        d = jnp.where(col < n_valid, d, _BIG)
+        _MASKED = _BIG
 
     xw1 = xw1_ref[0].astype(dot_dtype)  # (Np, C1)
     center = jnp.transpose(xt).astype(dot_dtype)  # (TN, 3)
@@ -111,10 +132,17 @@ def _fused_kernel(
 
         def pick(j, carry):
             d, m = carry
-            mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
-            eq = col == mi[:, None]
+            if approx_knn:
+                # the min KEY locates the neighbor directly (exactly one
+                # entry matches — keys are distinct by construction)
+                eq = d == m[:, None]
+            else:
+                mi = jnp.min(
+                    jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1
+                )
+                eq = col == mi[:, None]
             oh_ref[pl.ds(j * tn, tn), :] = eq.astype(dot_dtype)
-            d = jnp.where(eq, _BIG, d)
+            d = jnp.where(eq, _MASKED, d)
             return d, jnp.min(d, axis=1)
 
         for j in range(group):
@@ -170,12 +198,20 @@ def _fold_bn(kernel, bn):
     return kernel.astype(jnp.float32) * s[None, :], b
 
 
-def dgcnn_encode_fused(x, convs, bns, k, *, dot_dtype=jnp.bfloat16, tile_n=256):
+def dgcnn_encode_fused(
+    x, convs, bns, k, *, dot_dtype=jnp.bfloat16, tile_n=256, approx_knn=False
+):
     """Eval-mode DGCNN encoder forward: x (B, N, 3) -> (B, N, emb).
 
     ``convs``/``bns`` are the module's nnx.Linear / nnx.BatchNorm stacks
     (models/dgcnn.py); BN must be in running-average mode. Matmuls run in
     ``dot_dtype`` with f32 accumulation (pass f32 for exactness tests).
+
+    ``approx_knn=True`` switches the selection loop to quantized int32
+    keys (one fused VPU pass per pick instead of two): neighbor choice
+    can differ from exact kNN only inside a max(d)/2^20 distance bucket
+    (near-ties resolve toward the smaller index). Serving-time opt-in;
+    the exact path stays the default and keeps its pinned equivalence.
     """
     B, N, _ = x.shape
     tile_n = min(tile_n, _round_up(N, 128))  # don't over-pad small clouds
@@ -208,7 +244,8 @@ def dgcnn_encode_fused(x, convs, bns, k, *, dot_dtype=jnp.bfloat16, tile_n=256):
     flops_chain = 2 * B * Np * k * sum(ci * co for ci, co in dims2[:3])
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, k=k, group=group, n_valid=N, dot_dtype=dot_dtype
+            _fused_kernel, k=k, group=group, n_valid=N, dot_dtype=dot_dtype,
+            approx_knn=approx_knn,
         ),
         grid=grid,
         in_specs=[

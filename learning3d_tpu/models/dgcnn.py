@@ -55,7 +55,15 @@ class DGCNN(nnx.Module):
             # Eval-mode TPU bf16: the whole encoder (kNN + edge gather +
             # 5 BN-folded conv stages + neighbor max) runs as one Pallas
             # kernel; edge tensors never leave VMEM (kernels/dgcnn_fused.py).
-            return dgcnn_encode_fused(x, self.convs, self.bns, self.k)
+            # L3D_APPROX_KNN=1 opts the selection loop into quantized-key
+            # single-pass picks (serving knob; near-ties inside a
+            # max(d)/2^20 bucket resolve toward the smaller index).
+            import os
+
+            return dgcnn_encode_fused(
+                x, self.convs, self.bns, self.k,
+                approx_knn=os.environ.get("L3D_APPROX_KNN", "") == "1",
+            )
 
         e = get_graph_feature_fused(x, k=self.k)  # (B, N, k, 6); Pallas on TPU
         stage_outputs = []

@@ -123,6 +123,37 @@ class TestInterpretKernels:
             )
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
+    def test_dgcnn_fused_encoder_approx_knn(self):
+        """Quantized-key single-pass selection (approx_knn=True) vs the
+        exact two-pass loop: on generic random clouds the 2^20-bucket
+        quantization leaves the neighbor sets untouched, so the f32
+        encoder outputs must match the exact kernel almost everywhere
+        (near-tie flips are measure-zero at these sizes)."""
+        from flax import nnx
+
+        from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused
+        from learning3d_tpu.models import DGCNN
+
+        B, N, k = 2, 256, 5
+        net = DGCNN(emb_dims=64, k=k, rngs=nnx.Rngs(0))
+        net.eval()
+        x = jax.random.normal(jax.random.PRNGKey(11), (B, N, 3))
+        with _interp():
+            exact = np.asarray(
+                dgcnn_encode_fused(x, net.convs, net.bns, k, dot_dtype=jnp.float32)
+            )
+            approx = np.asarray(
+                dgcnn_encode_fused(
+                    x, net.convs, net.bns, k, dot_dtype=jnp.float32, approx_knn=True
+                )
+            )
+        rel = np.abs(approx - exact).mean() / np.abs(exact).mean()
+        assert rel < 1e-3, rel
+        # and point-wise: at most a handful of points may sit on a
+        # quantization near-tie; everything else is bit-close
+        per_point = np.abs(approx - exact).max(-1) / (np.abs(exact).max() + 1e-9)
+        assert (per_point > 1e-4).mean() < 0.02, (per_point > 1e-4).mean()
+
     def test_dgcnn_fused_encoder_bf16(self):
         """bf16 compute path of the fused encoder (what the TPU runs)
         stays within the on-chip tolerance of the f32 chain."""

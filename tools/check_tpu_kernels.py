@@ -289,6 +289,22 @@ def check_dgcnn_fused(B=8, N=1000, k=20):
     print(f"dgcnn_fused: mean rel {rel:.2e} (bf16 rounding + f32 kNN ties)")
     assert rel < 2e-2, rel
 
+    # quantized-key single-pass selection (approx_knn=True, the
+    # L3D_APPROX_KNN serving knob) vs the exact fused kernel: neighbor
+    # flips only inside a max(d)/2^20 quantization bucket — on random
+    # clouds the outputs must agree to bf16 noise
+    def fused_apx(st, x):
+        m = nnx.merge(gd, st)
+        return dgcnn_encode_fused(x, m.convs, m.bns, m.k, approx_knn=True)
+
+    c = np.asarray(jax.jit(fused_apx)(st, x), np.float32)
+    rel_a = np.abs(c - a).mean() / scale
+    flip = (np.abs(c - a).max(-1) > 1e-2 * np.abs(a).max()).mean()
+    print(f"dgcnn_fused approx-knn: mean rel {rel_a:.2e} vs exact, "
+          f"point flip frac {flip:.2e}")
+    assert rel_a < 5e-3, rel_a
+    assert flip < 0.01, flip
+
 
 def check_dgcnn_int8(B=8, N=1000, k=20):
     """int8 fused DGCNN encoder (the quantize_dcp serving path) vs the

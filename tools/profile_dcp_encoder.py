@@ -98,6 +98,45 @@ def main():
     results["enc-int8-2pass"] = bench_encoder(qmodel, "enc-int8-2pass", False)
     results["enc-int8-batched2B"] = bench_encoder(qmodel, "enc-int8-batched2B", True)
 
+    # quantized-key single-pass selection (round-5 ledger's "relaxing
+    # exactness" candidate): one fused VPU traversal per pick instead of
+    # two — the min int32 key identifies the neighbor, no argmin resolve
+    from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused
+
+    def bench_encoder_approx(m, tag):
+        gd, st = nnx.split(m)
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def many(n, st, t, s):
+            mm = nnx.merge(gd, st)
+            enc = mm.emb_nn
+
+            def body(i, acc):
+                e1 = dgcnn_encode_fused(
+                    t + 1e-4 * i, enc.convs, enc.bns, enc.k, approx_knn=True
+                )
+                e2 = dgcnn_encode_fused(
+                    s + 2e-4 * i, enc.convs, enc.bns, enc.k, approx_knn=True
+                )
+                return acc + jnp.sum(e1) + jnp.sum(e2)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        per = timed_per_iter(lambda n: many(n, st, t, s), tag=tag)
+        print(f"{tag}: {per*1e3:.2f} ms per template+source pair", flush=True)
+        return per
+
+    results["enc-bf16-approxknn"] = bench_encoder_approx(model, "enc-bf16-approxknn")
+    e_exact = model.emb_nn(t).astype(jnp.float32)
+    e_apx = dgcnn_encode_fused(
+        t, model.emb_nn.convs, model.emb_nn.bns, model.emb_nn.k, approx_knn=True
+    ).astype(jnp.float32)
+    rel_a = float(jnp.mean(jnp.abs(e_apx - e_exact)) / (jnp.mean(jnp.abs(e_exact)) + 1e-9))
+    flip = float(jnp.mean((jnp.abs(e_apx - e_exact).max(-1)
+                           > 1e-2 * jnp.abs(e_exact).max()).astype(jnp.float32)))
+    print(f"approx-knn closeness: mean rel {rel_a:.2e}, point flip frac {flip:.2e}",
+          flush=True)
+
     # int8 encoder closeness at the serving shape (random weights — the
     # trained-checkpoint delta is evaluate.py --quantize's job)
     e_bf = model.emb_nn(t)
