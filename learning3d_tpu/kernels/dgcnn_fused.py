@@ -48,6 +48,38 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _selection_matrix(d, col, n_valid, approx_knn):
+    """Prepare the kNN selection matrix from squared distances ``d``.
+
+    Exact mode: pad-masked f32 distances (sentinel _BIG). Approx mode:
+    quantized int32 keys key = round(d*S)*Np + col — the row-wise min key
+    then IDENTIFIES the neighbor column (keys are globally distinct via
+    the col term), so each pick needs no argmin-resolve traversal; the
+    cost is that near-ties inside one max(d)/2^(30-log2(Np)) bucket
+    resolve toward the smaller index instead of the true order. Returns
+    (matrix, masked_sentinel)."""
+    if not approx_knn:
+        return jnp.where(col < n_valid, d, _BIG), _BIG
+    Np = d.shape[1]
+    levels = (1 << (30 - (Np - 1).bit_length())) - 1
+    maxd = jnp.max(jnp.where(col < n_valid, d, 0.0))
+    scale = jnp.float32(levels) / jnp.maximum(maxd, jnp.float32(1e-20))
+    key = (d * scale).astype(jnp.int32) * jnp.int32(Np) + col
+    sentinel = jnp.int32(2**31 - 1)
+    return jnp.where(col < n_valid, key, sentinel), sentinel
+
+
+def _pick_mask(d, m, col, n_valid, approx_knn):
+    """One-hot mask of the row-wise minimum carried in ``m``. Approx
+    (key) mode: the min key matches exactly one entry — one traversal.
+    Exact mode: resolve the smallest matching column first (two fused
+    traversals, ties toward the smaller index)."""
+    if approx_knn:
+        return d == m[:, None]
+    mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
+    return col == mi[:, None]
+
+
 def _fused_kernel(
     xt_ref,  # (1, 3, TN) query tile, f32
     xf_ref,  # (1, 3, Np) full cloud, f32
@@ -82,27 +114,7 @@ def _fused_kernel(
     d2 = xt[2][:, None] - xf[2][None, :]
     d = d0 * d0 + d1 * d1 + d2 * d2  # (TN, Np)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    Np = d.shape[1]
-    if approx_knn:
-        # Quantized-key selection: pack round(d * S) and the column into
-        # ONE int32 key (key = dq * Np + col). The row-wise min key then
-        # IDENTIFIES the neighbor — no argmin-resolve traversal — and
-        # keys are globally distinct (the col term), so each pick is a
-        # single fused pass: compare, one-hot write, mask, next-min.
-        # Cost: distances collapse to `levels` buckets per tile (bucket
-        # width max(d)/2^20 at Np=1024), so near-ties inside one bucket
-        # resolve toward the smaller index instead of the true order —
-        # the documented approximation (selection only; gathered
-        # features and the conv chain are untouched).
-        levels = (1 << (30 - (Np - 1).bit_length())) - 1
-        maxd = jnp.max(jnp.where(col < n_valid, d, 0.0))
-        scale = jnp.float32(levels) / jnp.maximum(maxd, jnp.float32(1e-20))
-        key = (d * scale).astype(jnp.int32) * jnp.int32(Np) + col
-        d = jnp.where(col < n_valid, key, jnp.int32(2**31 - 1))
-        _MASKED = jnp.int32(2**31 - 1)
-    else:
-        d = jnp.where(col < n_valid, d, _BIG)
-        _MASKED = _BIG
+    d, _MASKED = _selection_matrix(d, col, n_valid, approx_knn)
 
     xw1 = xw1_ref[0].astype(dot_dtype)  # (Np, C1)
     center = jnp.transpose(xt).astype(dot_dtype)  # (TN, 3)
@@ -132,15 +144,7 @@ def _fused_kernel(
 
         def pick(j, carry):
             d, m = carry
-            if approx_knn:
-                # the min KEY locates the neighbor directly (exactly one
-                # entry matches — keys are distinct by construction)
-                eq = d == m[:, None]
-            else:
-                mi = jnp.min(
-                    jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1
-                )
-                eq = col == mi[:, None]
+            eq = _pick_mask(d, m, col, n_valid, approx_knn)
             oh_ref[pl.ds(j * tn, tn), :] = eq.astype(dot_dtype)
             d = jnp.where(eq, _MASKED, d)
             return d, jnp.min(d, axis=1)
@@ -342,6 +346,7 @@ def _fused_kernel_int8(
     group,
     n_valid,
     inv_s,  # (1/s1, 1/s2, 1/s3, 1/s4) static python floats
+    approx_knn,
 ):
     f32 = jnp.float32
     i8 = jnp.int8
@@ -352,7 +357,7 @@ def _fused_kernel_int8(
     d2 = xt[2][:, None] - xf[2][None, :]
     d = d0 * d0 + d1 * d1 + d2 * d2
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    d = jnp.where(col < n_valid, d, _BIG)
+    d, _MASKED = _selection_matrix(d, col, n_valid, approx_knn)
 
     center = jnp.transpose(xt).astype(jnp.bfloat16)
     c1 = (
@@ -376,10 +381,9 @@ def _fused_kernel_int8(
 
         def pick(j, carry):
             d, m = carry
-            mi = jnp.min(jnp.where(d == m[:, None], col, jnp.int32(n_valid)), axis=1)
-            eq = col == mi[:, None]
+            eq = _pick_mask(d, m, col, n_valid, approx_knn)
             oh_ref[pl.ds(j * tn, tn), :] = eq.astype(i8)
-            d = jnp.where(eq, _BIG, d)
+            d = jnp.where(eq, _MASKED, d)
             return d, jnp.min(d, axis=1)
 
         for j in range(group):
@@ -448,13 +452,14 @@ def calibrate_dgcnn_int8(convs, bns, k, calib_x, percentile=99.9):
     return tuple(scales)
 
 
-def dgcnn_encode_fused_int8(x, convs, bns, k, scales, *, tile_n=256):
+def dgcnn_encode_fused_int8(x, convs, bns, k, scales, *, tile_n=256, approx_knn=False):
     """int8 eval DGCNN encoder: x (B, N, 3) -> (B, N, emb) bf16.
 
     ``scales`` = (s1, s2, s3, s4) from calibrate_dgcnn_int8. The xw1
     (stage-1 neighbor product) scale is computed dynamically on device —
     it enters the kernel through SMEM, so no calibration is needed for
-    the input-dependent tensor."""
+    the input-dependent tensor. ``approx_knn`` switches the selection
+    loop to quantized-key single-pass picks (see _selection_matrix)."""
     B, N, _ = x.shape
     tile_n = min(tile_n, _round_up(N, 128))
     folded = [_fold_bn(c.kernel[...], bn) for c, bn in zip(convs, bns)]
@@ -504,6 +509,7 @@ def dgcnn_encode_fused_int8(x, convs, bns, k, scales, *, tile_n=256):
             group=group,
             n_valid=N,
             inv_s=tuple(1.0 / s for s in scales),
+            approx_knn=approx_knn,
         ),
         grid=grid,
         in_specs=[

@@ -44,13 +44,17 @@ class DGCNN(nnx.Module):
             raise RuntimeError("expected 3-channel point clouds")
 
         if dgcnn_fused_ok(x, self.convs, self.bns, self.k):
+            import os
+
+            approx = os.environ.get("L3D_APPROX_KNN", "") == "1"
             if self.int8_scales is not None:
                 # int8 serving mode (quant.quantize_dcp): int8 one-hot
                 # gathers + int8 conv chain on the int8 MXU
                 from learning3d_tpu.kernels.dgcnn_fused import dgcnn_encode_fused_int8
 
                 return dgcnn_encode_fused_int8(
-                    x, self.convs, self.bns, self.k, self.int8_scales
+                    x, self.convs, self.bns, self.k, self.int8_scales,
+                    approx_knn=approx,
                 )
             # Eval-mode TPU bf16: the whole encoder (kNN + edge gather +
             # 5 BN-folded conv stages + neighbor max) runs as one Pallas
@@ -58,11 +62,8 @@ class DGCNN(nnx.Module):
             # L3D_APPROX_KNN=1 opts the selection loop into quantized-key
             # single-pass picks (serving knob; near-ties inside a
             # max(d)/2^20 bucket resolve toward the smaller index).
-            import os
-
             return dgcnn_encode_fused(
-                x, self.convs, self.bns, self.k,
-                approx_knn=os.environ.get("L3D_APPROX_KNN", "") == "1",
+                x, self.convs, self.bns, self.k, approx_knn=approx
             )
 
         e = get_graph_feature_fused(x, k=self.k)  # (B, N, k, 6); Pallas on TPU

@@ -271,6 +271,39 @@ class TestInterpretKernels:
         rel = np.abs(got - want).mean() / np.abs(want).mean()
         assert rel < 0.06, rel
 
+    def test_dgcnn_fused_int8_approx_knn(self):
+        """Quantized-key selection inside the int8 kernel vs its exact
+        selection: identical int8 math downstream, so outputs must agree
+        except at measure-zero quantization near-ties."""
+        from flax import nnx
+
+        from learning3d_tpu.kernels.dgcnn_fused import (
+            calibrate_dgcnn_int8,
+            dgcnn_encode_fused_int8,
+        )
+        from learning3d_tpu.models import DGCNN
+
+        B, N, k = 2, 256, 5
+        net = DGCNN(emb_dims=64, k=k, rngs=nnx.Rngs(0))
+        net.eval()
+        x = jax.random.normal(jax.random.PRNGKey(17), (B, N, 3))
+        scales = calibrate_dgcnn_int8(net.convs, net.bns, k, x)
+        with _interp():
+            exact = np.asarray(
+                dgcnn_encode_fused_int8(x, net.convs, net.bns, k, scales),
+                np.float32,
+            )
+            approx = np.asarray(
+                dgcnn_encode_fused_int8(
+                    x, net.convs, net.bns, k, scales, approx_knn=True
+                ),
+                np.float32,
+            )
+        rel = np.abs(approx - exact).mean() / (np.abs(exact).mean() + 1e-9)
+        assert rel < 1e-3, rel
+        per_point = np.abs(approx - exact).max(-1) / (np.abs(exact).max() + 1e-9)
+        assert (per_point > 1e-4).mean() < 0.02, (per_point > 1e-4).mean()
+
     def test_edgeconv_neighbors(self):
         """knn_neighbors_pallas (fused kNN + coordinate gather) vs brute
         force, incl. the 2-pass selection restructure (round 3)."""

@@ -339,6 +339,23 @@ def check_dgcnn_int8(B=8, N=1000, k=20):
     print(f"dgcnn_int8: mean rel {rel:.2e} (int8 PTQ vs f32 module)")
     assert rel < 6e-2, rel
 
+    # int8 + quantized-key selection (L3D_APPROX_KNN serving combo):
+    # identical int8 math downstream of the picks, so vs the exact-pick
+    # int8 kernel only quantization near-tie flips may differ
+    def fused_i8_apx(st, x):
+        m = nnx.merge(gd, st)
+        return dgcnn_encode_fused_int8(
+            x, m.convs, m.bns, m.k, scales, approx_knn=True
+        )
+
+    got_a = np.asarray(jax.jit(fused_i8_apx)(st, x), np.float32)
+    rel_a = np.abs(got_a - got).mean() / (np.abs(got).mean() + 1e-9)
+    flip = (np.abs(got_a - got).max(-1) > 1e-2 * np.abs(got).max()).mean()
+    print(f"dgcnn_int8 approx-knn: mean rel {rel_a:.2e} vs exact-pick int8, "
+          f"point flip frac {flip:.2e}")
+    assert rel_a < 5e-3, rel_a
+    assert flip < 0.01, flip
+
 
 def check_attention(B=4, H=4, N=1000, D=128):
     """Lean fused pointer attention (kernels/attention.py) vs the

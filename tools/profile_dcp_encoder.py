@@ -127,6 +127,17 @@ def main():
         return per
 
     results["enc-bf16-approxknn"] = bench_encoder_approx(model, "enc-bf16-approxknn")
+    # int8 + approx picks: DGCNN.__call__ reads L3D_APPROX_KNN at trace
+    # time, so toggling it around a fresh jit gives the int8-approx row
+    import os
+
+    os.environ["L3D_APPROX_KNN"] = "1"
+    try:
+        results["enc-int8-approxknn"] = bench_encoder(
+            qmodel, "enc-int8-approxknn", False
+        )
+    finally:
+        os.environ.pop("L3D_APPROX_KNN", None)
     e_exact = model.emb_nn(t).astype(jnp.float32)
     e_apx = dgcnn_encode_fused(
         t, model.emb_nn.convs, model.emb_nn.bns, model.emb_nn.k, approx_knn=True
