@@ -41,8 +41,10 @@ DEFAULT_EXPS = {
     ),
     "r4_prnet": (
         "prnet", "prnet",
-        "partial-to-partial registration, 1024->768 (fixed pipeline)",
-        "r4_prnet_eval.log",
+        "partial-to-partial registration, 1024->768 (85-epoch extended run)",
+        # the round-5 G4 extension re-evals into r5_prnet_eval.log; the
+        # 60-epoch eval (r4_prnet_eval.log) is superseded by it
+        "r5_prnet_eval.log",
     ),
     "r4_pnlk": (
         "pointnetlk", "pointnetlk",
