@@ -264,7 +264,8 @@ def bench_dcp(batch=32, points=1024, dtype=jnp.bfloat16):
     return batch / per
 
 
-def bench_dcp_int8(batch=32, points=1024, fused_layers=True, int8_pv=True):
+def bench_dcp_int8(batch=32, points=1024, fused_layers=True, int8_pv=True,
+                   approx_knn=False):
     """Full int8 DCP serving mode (learning3d_tpu/quant.py:quantize_dcp):
     int8 pointer projections/FF + int8 QK^T/PV attention cores + the int8
     fused DGCNN encoder kernel; fused_layers=True additionally runs each
@@ -299,8 +300,24 @@ def bench_dcp_int8(batch=32, points=1024, fused_layers=True, int8_pv=True):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     tag = (f"dcp-int8{'' if int8_pv else '-hybrid'}"
-           f"{'-fused' if fused_layers else ''} B={batch}")
-    per = _timed_per_iter(lambda n: many(n, state, t, s), iters=21, tag=tag)
+           f"{'-fused' if fused_layers else ''}"
+           f"{'-approxknn' if approx_knn else ''} B={batch}")
+    # the DGCNN module reads L3D_APPROX_KNN at trace time, so scope the
+    # knob around the measurement (quantized-key single-pass selection;
+    # closeness pinned by check_tpu_kernels + the trained-ckpt eval)
+    import os
+
+    prev = os.environ.get("L3D_APPROX_KNN")
+    if approx_knn:
+        os.environ["L3D_APPROX_KNN"] = "1"
+    try:
+        per = _timed_per_iter(lambda n: many(n, state, t, s), iters=21, tag=tag)
+    finally:
+        if approx_knn:
+            if prev is None:
+                os.environ.pop("L3D_APPROX_KNN", None)
+            else:
+                os.environ["L3D_APPROX_KNN"] = prev
     return batch / per
 
 
@@ -487,6 +504,14 @@ def main():
              "int8-ptq-fused"),
             ("dcp_int8_hybrid_fused", dict(fused_layers=True, int8_pv=False),
              "int8-ptq-hybrid-fused"),
+            # + quantized-key single-pass kNN selection in the encoder
+            # (documented approximation: near-ties inside a max(d)/2^20
+            # quantization bucket resolve toward the smaller index;
+            # closeness validated on-chip by tools/check_tpu_kernels.py
+            # and the trained-ckpt eval under L3D_APPROX_KNN=1)
+            ("dcp_int8_hybrid_fused_approx",
+             dict(fused_layers=True, int8_pv=False, approx_knn=True),
+             "int8-ptq-hybrid-fused-approxknn"),
             ("dcp_int8_module", dict(fused_layers=False, int8_pv=True),
              "int8-ptq"),
         ):
