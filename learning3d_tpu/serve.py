@@ -48,8 +48,18 @@ def rotation_starts(n_starts: int = 8):
     attractors 40-180 deg from the ground truth
     (tools/diagnose_ipcrnet_attractor.py); a coarse deterministic cover
     guarantees some start lands the composed problem inside the correct
-    basin, and the per-item chamfer gap between basins (~0.2 vs ~0.0x)
-    makes the winning start unambiguous.
+    basin.
+
+    SELECTION LIMIT (measured, tools/diagnose_multistart_selection.py):
+    picking the winner by chamfer is only reliable when the model is
+    WELL-CONVERGED in its basin. For a weak model (r4b_ipcrnet, ~20 deg
+    mean in-basin error) a well-refined 180-deg symmetry pose out-scores
+    a 30-50-deg-misaligned correct pose under EVERY chamfer norm tested
+    (mean-sqrt / mean-squared / p90 / max), so multi-start degrades
+    aggregate rotation metrics there (19.5 -> 29.6 deg on the probe set)
+    even though it also rescues genuine attractor escapes (18 -> 3.5
+    deg on individual items). Use it on converged models, or treat the
+    per-item ``chamfer``/``start_idx`` outputs as a confidence signal.
     """
     if not 1 <= n_starts <= 24:
         raise ValueError("n_starts must be in [1, 24] (octahedral rotation group)")
